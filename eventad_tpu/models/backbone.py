@@ -1,0 +1,231 @@
+"""DAGR backbone (``Net``) — the 5-block GNN pyramid, TPU-native.
+
+Reference: src/dagr/model/networks/net.py:30-197. Structure per level i:
+
+    [image-feature concat] -> [+rel-xy features] -> Layer_i -> Pool_i
+
+where ``Layer`` = ConvBlock (spline conv + BN + act) followed by
+ConvBlockWithSkip (spline conv + BN, plus linear+BN skip, summed then act)
+(reference src/dagr/model/layers/conv.py:10-72).
+
+Everything here is shape-static: level 0 is the padded event table, levels
+1..4 are voxel-cell tables produced by :func:`eventad_tpu.ops.pooling.pool_graph`.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.norm import (BatchNormParams, BatchNormState, batch_norm,
+                        init_batch_norm)
+from ..ops.pooling import pool_graph
+from ..ops.spline_conv import (SplineConvParams, cartesian_attr,
+                               init_spline_conv, spline_conv)
+from .graph import Graph, sample_image_features
+
+
+# ---------------------------------------------------------------------------
+# parameter pytrees
+# ---------------------------------------------------------------------------
+class ConvBlockParams(NamedTuple):
+    conv: SplineConvParams
+    bn: BatchNormParams
+
+
+class ConvBlockState(NamedTuple):
+    bn: BatchNormState
+
+
+class LayerParams(NamedTuple):
+    block1: ConvBlockParams
+    skip_lin: jnp.ndarray          # [Cin, Cout] (components.py Linear, bias)
+    skip_lin_bias: jnp.ndarray     # [Cout]
+    block2: ConvBlockParams
+    skip_bn: BatchNormParams
+
+
+class LayerState(NamedTuple):
+    block1: ConvBlockState
+    block2: ConvBlockState
+    skip_bn: BatchNormState
+
+
+class BackboneParams(NamedTuple):
+    layers: Tuple[LayerParams, ...]   # conv_block1, layer2..layer5
+
+
+class BackboneState(NamedTuple):
+    layers: Tuple[LayerState, ...]
+
+
+def _act(name: str):
+    return {
+        "relu": jax.nn.relu,
+        "elu": jax.nn.elu,
+        "hardtanh": lambda x: jnp.clip(x, -1.0, 1.0),
+        "silu": jax.nn.silu,
+    }.get(name.lower(), jax.nn.elu)
+
+
+def init_layer(key, cin: int, cout: int, kernel_size: int) -> tuple:
+    k1, k2, k3 = jax.random.split(key, 3)
+    b1 = ConvBlockParams(init_spline_conv(k1, cin, cout, kernel_size),
+                         init_batch_norm(cout)[0])
+    b2 = ConvBlockParams(init_spline_conv(k2, cout, cout, kernel_size),
+                         init_batch_norm(cout)[0])
+    s = 1.0 / cin ** 0.5
+    lin = jax.random.uniform(k3, (cin, cout), minval=-s, maxval=s)
+    params = LayerParams(b1, lin, jnp.zeros((cout,)), b2,
+                         init_batch_norm(cout)[0])
+    state = LayerState(ConvBlockState(init_batch_norm(cout)[1]),
+                       ConvBlockState(init_batch_norm(cout)[1]),
+                       init_batch_norm(cout)[1])
+    return params, state
+
+
+def apply_layer(params: LayerParams, state: LayerState, g: Graph,
+                attr: jnp.ndarray, *, kernel_size: int, aggr: str,
+                activation, training: bool):
+    """reference conv.py:59-72: block1 -> block2 with linear skip."""
+    x_in = g.x
+    # ConvBlock 1: conv -> bn -> act
+    h = spline_conv(x_in, g.nbr, g.nbr_mask, attr, params.block1.conv,
+                    kernel_size=kernel_size, aggr=aggr,
+                    node_mask=g.node_mask)
+    h, bn1 = batch_norm(h, g.node_mask, params.block1.bn, state.block1.bn,
+                        training=training)
+    h = activation(h)
+    h = jnp.where(g.node_mask[:, None], h, 0.0)
+    # ConvBlockWithSkip: conv(h) + bn ; skip = bn(lin(x_in)) ; act(sum)
+    h2 = spline_conv(h, g.nbr, g.nbr_mask, attr, params.block2.conv,
+                     kernel_size=kernel_size, aggr=aggr,
+                     node_mask=g.node_mask)
+    h2, bn2 = batch_norm(h2, g.node_mask, params.block2.bn, state.block2.bn,
+                         training=training)
+    skip = x_in @ params.skip_lin + params.skip_lin_bias
+    skip, bns = batch_norm(skip, g.node_mask, params.skip_bn, state.skip_bn,
+                           training=training)
+    out = activation(h2 + skip)
+    out = jnp.where(g.node_mask[:, None], out, 0.0)
+    new_state = LayerState(ConvBlockState(bn1), ConvBlockState(bn2), bns)
+    return g._replace(x=out), new_state
+
+
+# ---------------------------------------------------------------------------
+# backbone
+# ---------------------------------------------------------------------------
+class BackboneConfig(NamedTuple):
+    """Static geometry derived from Config (hashable for jit)."""
+    channels: Tuple[int, ...]
+    image_channels: Tuple[int, ...]       # empty if use_image=False
+    grids: Tuple[Tuple[int, int], ...]    # 4 pooling grids
+    cart_max: Tuple[float, ...]           # attr normalizers per level 0..4
+    width: int
+    height: int
+    batch_size: int
+    kernel_size: int
+    aggr: str
+    activation: str
+    pooling_aggr: str
+    keep_temporal_ordering: bool
+    use_image: bool
+
+
+def make_backbone_config(cfg: Config) -> BackboneConfig:
+    ch = cfg.channels()
+    grids = tuple(cfg.grid_dims())
+    eff = cfg.effective_radius
+    poolings = cfg.poolings()
+    cart = [eff, 2 * eff] + [2 * max(p[0], p[1]) for p in poolings[1:]]
+    img_ch = tuple(ch[1:]) if cfg.use_image else ()
+    return BackboneConfig(
+        channels=tuple(ch), image_channels=img_ch, grids=grids,
+        cart_max=tuple(cart), width=cfg.model_width, height=cfg.model_height,
+        batch_size=cfg.batch_size, kernel_size=cfg.kernel_size, aggr=cfg.aggr,
+        activation=cfg.activation, pooling_aggr=cfg.pooling_aggr,
+        keep_temporal_ordering=cfg.keep_temporal_ordering,
+        use_image=cfg.use_image)
+
+
+def layer_in_out_channels(bc: BackboneConfig):
+    """(cin, cout) per layer, reference net.py:58-97."""
+    ch = list(bc.channels)
+    inputs = ch[:-1]
+    if bc.use_image:
+        inputs = [inputs[i] + bc.image_channels[i] for i in range(len(inputs))]
+    outputs = ch[1:]
+    return [(inputs[i] + 2, outputs[i]) for i in range(5)]
+
+
+def init_backbone(key, bc: BackboneConfig):
+    keys = jax.random.split(key, 5)
+    pairs = layer_in_out_channels(bc)
+    params, states = [], []
+    for k, (cin, cout) in zip(keys, pairs):
+        p, s = init_layer(k, cin, cout, bc.kernel_size)
+        params.append(p)
+        states.append(s)
+    return BackboneParams(tuple(params)), BackboneState(tuple(states))
+
+
+def backbone_forward(params: BackboneParams,
+                     state: BackboneState,
+                     g0: Graph,
+                     image_feats: Optional[Sequence[jnp.ndarray]],
+                     bc: BackboneConfig,
+                     *,
+                     training: bool = False):
+    """Runs the 5-block pyramid.
+
+    Args:
+      g0: level-0 event graph; ``g0.x`` is the polarity feature ``[N, 1]``.
+      image_feats: 5 NHWC maps (remapped CNN pyramid) or None.
+
+    Returns ``(out3, out4), new_state`` where out3/out4 are Graphs at the
+    pool-3 / pool-4 cell tables (reference net.py:165-184).
+    """
+    act = _act(bc.activation)
+    new_states = []
+    g = g0
+
+    def cat_image(g, level):
+        if not bc.use_image:
+            return g
+        f = sample_image_features(image_feats[level], g.pos, g.batch,
+                                  g.node_mask, bc.width, bc.height)
+        return g._replace(x=jnp.concatenate([g.x, f], axis=1))
+
+    def cat_rel(g):
+        # reference net.py:122-123: append normalized xy as features
+        rel = jnp.where(g.node_mask[:, None], g.pos[:, :2], 0.0)
+        return g._replace(x=jnp.concatenate([g.x, rel], axis=1))
+
+    outs = []
+    for level in range(5):
+        if level > 0:
+            # next level's CNN features are appended at the *previous* level's
+            # node positions, then pooled together (net.py:116,127,140,153,169)
+            g = cat_image(g, level)
+            aggr = "mean" if level == 4 else bc.pooling_aggr  # net.py:94
+            pooled = pool_graph(
+                g.x, g.pos, g.nbr, g.nbr_mask, g.node_mask, g.batch,
+                grid=bc.grids[level - 1], batch_size=bc.batch_size,
+                width=bc.width, height=bc.height, aggr=aggr,
+                span=2, keep_temporal_ordering=bc.keep_temporal_ordering)
+            g = Graph(pooled.x, pooled.pos, pooled.nbr, pooled.nbr_mask,
+                      pooled.node_mask, pooled.batch)
+        else:
+            g = cat_image(g, 0)
+        g = cat_rel(g)
+        attr = cartesian_attr(g.pos, g.nbr, g.nbr_mask, bc.cart_max[level],
+                              clamp=True)
+        g, ls = apply_layer(params.layers[level], state.layers[level], g,
+                            attr, kernel_size=bc.kernel_size, aggr=bc.aggr,
+                            activation=act, training=training)
+        new_states.append(ls)
+        if level >= 3:
+            outs.append(g)      # out3 (after layer4), out4 (after layer5)
+    return tuple(outs), BackboneState(tuple(new_states))

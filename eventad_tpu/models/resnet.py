@@ -1,0 +1,198 @@
+"""Functional ResNet feature-pyramid CNN branch (NHWC, TPU-friendly).
+
+Replaces the reference's torchvision ResNet-50 wrapped in ``HookModule``
+(src/dagr/model/networks/net_img.py:42-135): forward hooks there capture
+``conv1`` (pre-BN), ``layer1..layer4`` outputs as the feature pyramid and
+``layer3``/``layer4`` as detection-head inputs, each remapped by a 1x1 conv.
+
+Params/state are plain nested dicts (pytrees); a torch->JAX weight converter
+can fill them from a torchvision checkpoint for parity runs.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LAYER_SPECS = {
+    "resnet18": ([2, 2, 2, 2], 1),
+    "resnet34": ([3, 4, 6, 3], 1),
+    "resnet50": ([3, 4, 6, 3], 4),
+}
+
+
+def _conv(x, w, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bn_apply(x, p, s, training, momentum=0.1, eps=1e-5):
+    if training:
+        mean = x.mean(axis=(0, 1, 2))
+        var = x.var(axis=(0, 1, 2))
+        cnt = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * cnt / max(cnt - 1, 1)
+        ns = {"mean": (1 - momentum) * s["mean"] + momentum * mean,
+              "var": (1 - momentum) * s["var"] + momentum * unbiased}
+    else:
+        mean, var = s["mean"], s["var"]
+        ns = s
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["offset"]
+    return y, ns
+
+
+def _init_conv(key, kh, kw, cin, cout):
+    fan = kh * kw * cin
+    std = (2.0 / fan) ** 0.5
+    return jax.random.normal(key, (kh, kw, cin, cout)) * std
+
+
+def _init_bn(c):
+    return ({"scale": jnp.ones((c,)), "offset": jnp.zeros((c,))},
+            {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))})
+
+
+def init_resnet(key, arch: str = "resnet50", in_channels: int = 3):
+    blocks, expansion = LAYER_SPECS[arch]
+    params: Dict = {}
+    state: Dict = {}
+    key, k = jax.random.split(key)
+    params["conv1"] = _init_conv(k, 7, 7, in_channels, 64)
+    params["bn1"], state["bn1"] = _init_bn(64)
+    cin = 64
+    for li, (n, planes) in enumerate(zip(blocks, [64, 128, 256, 512])):
+        lp, ls = [], []
+        for bi in range(n):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            cout = planes * expansion
+            bp, bs = {}, {}
+            if expansion == 4:
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                bp["c1"] = _init_conv(k1, 1, 1, cin, planes)
+                bp["b1"], bs["b1"] = _init_bn(planes)
+                bp["c2"] = _init_conv(k2, 3, 3, planes, planes)
+                bp["b2"], bs["b2"] = _init_bn(planes)
+                bp["c3"] = _init_conv(k3, 1, 1, planes, cout)
+                bp["b3"], bs["b3"] = _init_bn(cout)
+            else:
+                key, k1, k2 = jax.random.split(key, 3)
+                bp["c1"] = _init_conv(k1, 3, 3, cin, planes)
+                bp["b1"], bs["b1"] = _init_bn(planes)
+                bp["c2"] = _init_conv(k2, 3, 3, planes, cout)
+                bp["b2"], bs["b2"] = _init_bn(cout)
+            if stride != 1 or cin != cout:
+                key, k1 = jax.random.split(key)
+                bp["down"] = _init_conv(k1, 1, 1, cin, cout)
+                bp["down_bn"], bs["down_bn"] = _init_bn(cout)
+            bp["stride"] = stride
+            lp.append(bp)
+            ls.append(bs)
+            cin = cout
+        params[f"layer{li+1}"] = lp
+        state[f"layer{li+1}"] = ls
+    return params, state
+
+
+def _bottleneck(x, bp, bs, training, expansion):
+    ns = {}
+    identity = x
+    if expansion == 4:
+        h = _conv(x, bp["c1"])
+        h, ns["b1"] = _bn_apply(h, bp["b1"], bs["b1"], training)
+        h = jax.nn.relu(h)
+        h = _conv(h, bp["c2"], stride=bp["stride"])
+        h, ns["b2"] = _bn_apply(h, bp["b2"], bs["b2"], training)
+        h = jax.nn.relu(h)
+        h = _conv(h, bp["c3"])
+        h, ns["b3"] = _bn_apply(h, bp["b3"], bs["b3"], training)
+    else:
+        h = _conv(x, bp["c1"], stride=bp["stride"])
+        h, ns["b1"] = _bn_apply(h, bp["b1"], bs["b1"], training)
+        h = jax.nn.relu(h)
+        h = _conv(h, bp["c2"])
+        h, ns["b2"] = _bn_apply(h, bp["b2"], bs["b2"], training)
+    if "down" in bp:
+        identity = _conv(x, bp["down"], stride=bp["stride"])
+        identity, ns["down_bn"] = _bn_apply(identity, bp["down_bn"],
+                                            bs["down_bn"], training)
+    return jax.nn.relu(h + identity), ns
+
+
+def resnet_forward(params, state, x, arch: str = "resnet50",
+                   training: bool = False):
+    """Args: x ``[B, H, W, C]`` in [0, 1]. Returns (taps, new_state) where
+    taps = dict with 'conv1', 'layer1'..'layer4' feature maps (NHWC)."""
+    _, expansion = LAYER_SPECS[arch]
+    ns: Dict = {}
+    taps: Dict = {}
+    h = _conv(x, params["conv1"], stride=2, padding=[(3, 3), (3, 3)])
+    taps["conv1"] = h                     # hook fires on conv1 module (pre-BN)
+    h, ns["bn1"] = _bn_apply(h, params["bn1"], state["bn1"], training)
+    h = jax.nn.relu(h)
+    h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)])
+    for li in range(1, 5):
+        lp, ls = params[f"layer{li}"], state[f"layer{li}"]
+        nls = []
+        for bp, bs in zip(lp, ls):
+            h, nbs = _bottleneck(h, bp, bs, training, expansion)
+            nls.append(nbs)
+        ns[f"layer{li}"] = nls
+        taps[f"layer{li}"] = h
+    return taps, ns
+
+
+# ---------------------------------------------------------------------------
+# HookModule equivalent: pyramid taps + 1x1 channel remaps
+# ---------------------------------------------------------------------------
+FEATURE_LAYERS = ("conv1", "layer1", "layer2", "layer3", "layer4")
+OUTPUT_LAYERS = ("layer3", "layer4")
+
+
+def tap_channels(arch: str):
+    _, e = LAYER_SPECS[arch]
+    base = {"conv1": 64, "layer1": 64 * e, "layer2": 128 * e,
+            "layer3": 256 * e, "layer4": 512 * e}
+    return ([base[l] for l in FEATURE_LAYERS],
+            [base[l] for l in OUTPUT_LAYERS])
+
+
+def init_cnn_branch(key, arch: str, feature_channels: List[int],
+                    output_channels: List[int], in_channels: int = 3):
+    """ResNet + the HookModule's 1x1 remap convs (net_img.py:70-90)."""
+    key, k = jax.random.split(key)
+    rp, rs = init_resnet(k, arch, in_channels)
+    fch, och = tap_channels(arch)
+    fmap, omap = [], []
+    for cin, cout in zip(fch, feature_channels):
+        key, k1, k2 = jax.random.split(key, 3)
+        s = 1.0 / cin ** 0.5
+        fmap.append({"w": jax.random.uniform(k1, (1, 1, cin, cout),
+                                             minval=-s, maxval=s),
+                     "b": jax.random.uniform(k2, (cout,), minval=-s,
+                                             maxval=s)})
+    for cin, cout in zip(och, output_channels):
+        key, k1, k2 = jax.random.split(key, 3)
+        s = 1.0 / cin ** 0.5
+        omap.append({"w": jax.random.uniform(k1, (1, 1, cin, cout),
+                                             minval=-s, maxval=s),
+                     "b": jax.random.uniform(k2, (cout,), minval=-s,
+                                             maxval=s)})
+    return {"resnet": rp, "feature_dconv": fmap, "output_dconv": omap}, rs
+
+
+def cnn_branch_forward(params, state, image, arch: str = "resnet50",
+                       training: bool = False):
+    """Returns (features [5 maps], outputs [2 maps], new_state), NHWC."""
+    taps, ns = resnet_forward(params["resnet"], state, image, arch, training)
+    feats = [
+        _conv(taps[l], params["feature_dconv"][i]["w"])
+        + params["feature_dconv"][i]["b"]
+        for i, l in enumerate(FEATURE_LAYERS)]
+    outs = [
+        _conv(taps[l], params["output_dconv"][i]["w"])
+        + params["output_dconv"][i]["b"]
+        for i, l in enumerate(OUTPUT_LAYERS)]
+    return feats, outs, ns

@@ -1,0 +1,148 @@
+"""Voxel-grid graph pooling with static cell tables.
+
+Replaces the reference ``Pooling`` (src/dagr/model/layers/pooling.py:19-97):
+``grid_cluster`` over ``(x, y, t, batch)`` + consecutive relabelling + edge
+dedup + scatter max/mean.  The reference already sizes its cluster space
+statically (``max_num_voxels = batch_size * num_grid_cells``,
+pooling.py:34); we keep that full table as the pooled node set (with an
+``active`` mask instead of compaction), which makes every downstream shape
+static.
+
+Pooled edges: the reference maps original edges through the cluster
+assignment, removes self-loops and deduplicates (pooling.py:58-64).  Because
+edge endpoints are spatially local, a source cell can only be within a small
+window of its destination cell, so we represent pooled adjacency as a
+``(2*span+1)**2`` existence bitmap per destination cell — deduplication is
+free and the neighbour table is arithmetic (no sort, no compaction).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+class PooledGraph(NamedTuple):
+    x: jnp.ndarray          # [M, C]
+    pos: jnp.ndarray        # [M, 3]
+    nbr: jnp.ndarray        # [M, S] int32
+    nbr_mask: jnp.ndarray   # [M, S] bool
+    node_mask: jnp.ndarray  # [M] bool
+    batch: jnp.ndarray      # [M] int32
+
+
+def _round_to_pixel(p: jnp.ndarray, size: int) -> jnp.ndarray:
+    """reference pooling.py:47-49: floor((pos + 1e-5) / (1/size)) * (1/size)."""
+    return jnp.floor((p + 1e-5) * size) / size
+
+
+def pool_graph(x: jnp.ndarray,
+               pos: jnp.ndarray,
+               nbr: jnp.ndarray,
+               nbr_mask: jnp.ndarray,
+               node_mask: jnp.ndarray,
+               batch: jnp.ndarray,
+               *,
+               grid: tuple,
+               batch_size: int,
+               width: int,
+               height: int,
+               aggr: str = "max",
+               span: int = 2,
+               keep_temporal_ordering: bool = False) -> PooledGraph:
+    """Args:
+      x ``[N, C]``, pos ``[N, 3]`` normalized, nbr/nbr_mask ``[N, K]``,
+      node_mask ``[N]``, batch ``[N]`` int32 item ids.
+      grid: (nx, ny) cells of this level.
+      span: max |cell offset| an edge can reach (asserted by tests).
+
+    Returns a :class:`PooledGraph` over ``M = batch_size * nx * ny`` cells.
+    """
+    nx, ny = grid
+    ncells = nx * ny
+    m_total = batch_size * ncells
+    side = 2 * span + 1
+    n = x.shape[0]
+
+    pc = jnp.clip(pos, 0.0, 0.9999999)
+    ix = jnp.floor(pc[:, 0] * nx).astype(jnp.int32)
+    iy = jnp.floor(pc[:, 1] * ny).astype(jnp.int32)
+    cell = batch * ncells + iy * nx + ix                       # [N]
+    cell_safe = jnp.where(node_mask, cell, m_total)            # overflow row
+
+    # ---- feature aggregation (pooling.py:74-77) ----
+    if aggr == "max":
+        acc = jnp.full((m_total + 1, x.shape[1]), -jnp.inf, dtype=x.dtype)
+        xin = jnp.where(node_mask[:, None], x, -jnp.inf)
+        acc = acc.at[cell_safe].max(xin)
+        pooled_x = acc[:m_total]
+        pooled_x = jnp.where(jnp.isfinite(pooled_x), pooled_x, 0.0)
+    elif aggr == "mean":
+        acc = jnp.zeros((m_total + 1, x.shape[1]), dtype=x.dtype)
+        acc = acc.at[cell_safe].add(jnp.where(node_mask[:, None], x, 0.0))
+        cnt = jnp.zeros((m_total + 1,), dtype=x.dtype).at[cell_safe].add(
+            node_mask.astype(x.dtype))
+        pooled_x = acc[:m_total] / jnp.maximum(cnt[:m_total, None], 1.0)
+    else:
+        raise ValueError(aggr)
+
+    # ---- position: member mean, then x/y snapped to the pixel grid ----
+    psum = jnp.zeros((m_total + 1, 3), dtype=pos.dtype).at[cell_safe].add(
+        jnp.where(node_mask[:, None], pos, 0.0))
+    pcnt = jnp.zeros((m_total + 1,), dtype=pos.dtype).at[cell_safe].add(
+        node_mask.astype(pos.dtype))
+    pooled_pos = psum[:m_total] / jnp.maximum(pcnt[:m_total, None], 1.0)
+    pooled_pos = pooled_pos.at[:, 0].set(
+        _round_to_pixel(pooled_pos[:, 0], width))
+    pooled_pos = pooled_pos.at[:, 1].set(
+        _round_to_pixel(pooled_pos[:, 1], height))
+
+    active = pcnt[:m_total] > 0
+
+    # ---- pooled adjacency bitmap ----
+    src_cell = cell_safe[nbr]                                  # [N, K]
+    dst_cell = cell_safe[:, None]
+    e_ok = nbr_mask & node_mask[:, None] & (src_cell < m_total) \
+        & (dst_cell < m_total)
+    rel_x = (src_cell % nx) - (dst_cell % nx)
+    rel_y = (src_cell // nx) % ny - (dst_cell // nx) % ny
+    same_b = (src_cell // ncells) == (dst_cell // ncells)
+    in_span = (jnp.abs(rel_x) <= span) & (jnp.abs(rel_y) <= span)
+    not_self = src_cell != dst_cell                            # pooling.py:62
+    e_ok = e_ok & same_b & in_span & not_self
+    rel_idx = (rel_y + span) * side + (rel_x + span)
+    rel_idx = jnp.clip(rel_idx, 0, side * side - 1)
+    flat_idx = jnp.where(e_ok, dst_cell * (side * side) + rel_idx, 0)
+    exist = jnp.zeros((m_total * side * side,), dtype=bool) \
+        .at[flat_idx.reshape(-1)].max(e_ok.reshape(-1)) \
+        .reshape(m_total, side * side)
+
+    # neighbour indices decoded arithmetically from the bitmap slots
+    cells = jnp.arange(m_total, dtype=jnp.int32)
+    cx = cells % nx
+    cy = (cells // nx) % ny
+    cb = cells // ncells
+    offs = jnp.arange(side * side, dtype=jnp.int32)
+    ox = offs % side - span
+    oy = offs // side - span
+    nxs = cx[:, None] + ox[None, :]
+    nys = cy[:, None] + oy[None, :]
+    in_fov = (nxs >= 0) & (nxs < nx) & (nys >= 0) & (nys < ny)
+    nbr_out = cb[:, None] * ncells + jnp.clip(nys, 0, ny - 1) * nx \
+        + jnp.clip(nxs, 0, nx - 1)
+    mask_out = exist & in_fov & active[:, None]
+    mask_out = mask_out & active[jnp.clip(nbr_out, 0, m_total - 1)]
+
+    if keep_temporal_ordering:  # pooling.py:69-72
+        tmax = jnp.full((m_total + 1,), -jnp.inf, dtype=pos.dtype)
+        tmax = tmax.at[cell_safe].max(
+            jnp.where(node_mask, pos[:, 2], -jnp.inf))[:m_total]
+        mask_out = mask_out & (
+            tmax[:, None] > tmax[jnp.clip(nbr_out, 0, m_total - 1)])
+
+    nbr_out = jnp.where(mask_out, nbr_out, 0)
+    pooled_x = jnp.where(active[:, None], pooled_x, 0.0)
+    batch_out = cb
+
+    return PooledGraph(pooled_x, pooled_pos, nbr_out, mask_out, active,
+                       batch_out)
