@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched inference throughput of the full EventAD
+pipeline at the reference's operating point (360x240, batch 6, dagr-S,
+ResNet-50 fusion), measured like the reference FPS harness (bounding boxes
+per second, utils/fps.py:58).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 595.48 bboxes/s (reference committed run, BASELINE.md).
+"""
+import json
+import sys
+import time
+
+import jax
+
+from eventad_tpu.utils.jaxtools import setup_compilation_cache
+setup_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 595.48
+
+
+def main():
+    from eventad_tpu.config import Config
+    from eventad_tpu.data.synthetic import make_synthetic_batch
+    from eventad_tpu.models.dagr import (graph_static_config, init_model,
+                                         model_forward)
+
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    cfg = Config(batch_size=6, use_image=True,
+                 event_buckets=(n_events,))   # 1080/3 x 720/3 = 360x240
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    gsc = graph_static_config(cfg)
+    batch = jax.tree.map(jnp.asarray,
+                         make_synthetic_batch(cfg, boxes_per_item=6))
+
+    @jax.jit
+    def fwd(params, state, batch):
+        out, _ = model_forward(params, state, batch, bc, mc, gsc,
+                               img_net=cfg.img_net, training=False)
+        return out.logits
+
+    # bboxes per batch, counted like the reference (bbox + bbox0)
+    n_boxes = int(np.asarray(batch.bbox_mask).sum()
+                  + np.asarray(batch.bbox0_mask).sum())
+
+    jax.block_until_ready(fwd(params, state, batch))   # compile
+    warmup, iters = 5, 20
+    for _ in range(warmup):
+        jax.block_until_ready(fwd(params, state, batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fwd(params, state, batch))
+    dt = time.perf_counter() - t0
+
+    fps = n_boxes * iters / dt
+    per_batch_ms = dt / iters * 1e3
+    result = {
+        "metric": "inference_bboxes_per_sec",
+        "value": round(fps, 2),
+        "unit": "bboxes/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "batch_ms": round(per_batch_ms, 2),
+        "events_per_item": n_events,
+        "frames_per_sec": round(cfg.batch_size * iters / dt, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Synthetic ROL-style fixture generator.
+
+The real ROL/DSEC data is not distributable with the framework; this module
+fabricates sequences in exactly the on-disk layout the data layer consumes
+(events h5 + ms_to_idx, PNG frames, timestamps.txt, tracks.npy, split yaml,
+toa json) so tests, benchmarks and end-to-end runs work anywhere.
+
+Scenes: moving rectangles on a textured background; each box edge emits
+events as it moves (a crude event-camera model); in anomalous sequences one
+object switches to erratic motion at a known TOA frame and its class flips to
+1 ("anomaly" in slot semantics — the reference uses bbox[:,4] as the anomaly
+label, utils/train.py:111).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from .h5io import write_events
+from .tracks import TRACK_DTYPE
+
+
+def _render_image(w, h, boxes, rng):
+    img = np.full((h, w, 3), 96, np.uint8)
+    # static texture
+    img += (rng.rand(h, w, 3) * 24).astype(np.uint8)
+    for (x, y, bw, bh, cls) in boxes:
+        x0, y0 = int(max(x, 0)), int(max(y, 0))
+        x1, y1 = int(min(x + bw, w)), int(min(y + bh, h))
+        if x1 > x0 and y1 > y0:
+            color = (200, 80, 80) if cls else (80, 80, 200)
+            img[y0:y1, x0:x1] = color
+    return img
+
+
+def _emit_box_events(x, y, bw, bh, vx, vy, t0, t1, w, h, rng, rate=600):
+    """Events along the leading edges of a moving box."""
+    n = max(int(rate * (t1 - t0) / 1e6), 4)
+    ts = np.sort(rng.randint(t0, t1, n))
+    frac = (ts - t0) / max(t1 - t0, 1)
+    cx = x + vx * frac * (t1 - t0) / 1e6
+    cy = y + vy * frac * (t1 - t0) / 1e6
+    # sample points on the box perimeter
+    side = rng.randint(0, 4, n)
+    u = rng.rand(n)
+    ex = np.where(side < 2, cx + u * bw, np.where(side == 2, cx, cx + bw))
+    ey = np.where(side == 0, cy, np.where(side == 1, cy + bh, cy + u * bh))
+    p = (rng.rand(n) > 0.5).astype(np.uint8)
+    ok = (ex >= 0) & (ex < w) & (ey >= 0) & (ey < h)
+    return ex[ok].astype(np.uint16), ey[ok].astype(np.uint16), \
+        ts[ok].astype(np.int64), p[ok]
+
+
+def generate_sequence(root: Path, name: str, cfg: Config, *,
+                      n_frames: int = 12, n_objects: int = 3,
+                      anomalous: bool = False, toa_frame: int = 6,
+                      seed: int = 0, events_per_window: int = 3000):
+    rng = np.random.RandomState(seed)
+    w, h = cfg.model_width, cfg.model_height
+    scale = cfg.scale
+    fw, fh = w * scale, h * scale
+    dt_us = 50_000  # 20 fps
+    seq = root / name
+    (seq / "images/left/rectified").mkdir(parents=True, exist_ok=True)
+    (seq / "object_detections/left").mkdir(parents=True, exist_ok=True)
+
+    # objects: x, y, w, h, vx, vy (px/s at model res), track_id
+    objs = []
+    for i in range(n_objects):
+        bw = rng.randint(max(w // 12, 4), max(w // 6, 8))
+        bh = rng.randint(max(h // 12, 4), max(h // 6, 8))
+        objs.append(dict(
+            x=float(rng.randint(0, max(w - bw, 1))),
+            y=float(rng.randint(0, max(h - bh, 1))),
+            w=float(bw), h=float(bh),
+            vx=float(rng.randn() * w * 0.15), vy=float(rng.randn() * h * 0.1),
+            tid=i + 1))
+
+    timestamps = (np.arange(n_frames, dtype=np.int64) * dt_us
+                  + 1_000_000)
+    all_ev = {k: [] for k in "xytp"}
+    tracks = []
+
+    import cv2
+    for fi, t_img in enumerate(timestamps):
+        boxes_draw = []
+        for oi, o in enumerate(objs):
+            is_anom = anomalous and oi == 0 and fi >= toa_frame
+            # DSEC vocabulary ids: the dataset's class remap turns
+            # car(2) -> label 0 and pedestrian(0) -> label 1 (the anomaly
+            # label channel, reference utils/train.py:111)
+            cls = 0 if is_anom else 2
+            # record track at this frame timestamp
+            x = float(np.clip(o["x"], 0, w - 2))
+            y = float(np.clip(o["y"], 0, h - 2))
+            bw = float(min(o["w"], w - 1 - x))
+            bh = float(min(o["h"], h - 1 - y))
+            tracks.append((t_img, x * scale, y * scale, bw * scale,
+                           bh * scale, cls, 1.0, o["tid"]))
+            boxes_draw.append((x * scale, y * scale, bw * scale, bh * scale,
+                               1 if is_anom else 0))
+            # events emitted over the window ending at this frame
+            if fi > 0:
+                vx, vy = o["vx"], o["vy"]
+                if is_anom:
+                    vx, vy = vx * 3 + w * 0.3, vy * 3
+                ex, ey, ts, p = _emit_box_events(
+                    x, y, bw, bh, vx, vy, int(timestamps[fi - 1]),
+                    int(t_img), w, h, rng,
+                    rate=events_per_window * 20 // max(n_objects, 1))
+                all_ev["x"].append(ex)
+                all_ev["y"].append(ey)
+                all_ev["t"].append(ts)
+                all_ev["p"].append(p)
+            # advance object
+            vx, vy = o["vx"], o["vy"]
+            if is_anom:
+                vx, vy = vx * 3 + w * 0.3, vy * 3
+            o["x"] = float(np.clip(o["x"] + vx * dt_us / 1e6, 0, w - 4))
+            o["y"] = float(np.clip(o["y"] + vy * dt_us / 1e6, 0, h - 4))
+        img = _render_image(fw, fh, boxes_draw, rng)
+        cv2.imwrite(str(seq / f"images/left/rectified/{fi:06d}.png"), img)
+
+    np.savetxt(seq / "images/timestamps.txt", timestamps, fmt="%d")
+    ev = {k: np.concatenate(v) if v else np.zeros((0,), np.int64)
+          for k, v in all_ev.items()}
+    order = np.argsort(ev["t"], kind="stable")
+    ev = {k: v[order] for k, v in ev.items()}
+    write_events(seq / "events/left/events_2x.h5", ev)
+
+    arr = np.array(tracks, dtype=TRACK_DTYPE)
+    np.save(seq / "object_detections/left/tracks.npy", arr)
+    return toa_frame if anomalous else None
+
+
+def generate_dataset(root: Path, cfg: Config, *, n_train: int = 2,
+                     n_val: int = 2, n_frames: int = 12, seed: int = 0,
+                     events_per_window: int = 3000) -> Path:
+    """Builds <root>/ with sequences + split yaml + toa json. Returns root."""
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    split = {"train": [], "val": [], "test": []}
+    toa = {}
+    idx = 0
+    for group, count in (("train", n_train), ("val", n_val),
+                         ("test", n_train)):
+        for i in range(count):
+            name = f"synth_{group}_{i:02d}"
+            anomalous = (i % 2 == 0)
+            t = generate_sequence(root, name, cfg, n_frames=n_frames,
+                                  anomalous=anomalous, seed=seed + idx,
+                                  events_per_window=events_per_window)
+            split[group].append(name)
+            if t is not None:
+                toa[name] = t
+            idx += 1
+    import yaml
+    with open(root / "rol_split.yaml", "w") as f:
+        yaml.safe_dump(split, f)
+    with open(root / "toa_values.json", "w") as f:
+        json.dump(toa, f)
+    return root

@@ -86,7 +86,6 @@ def init_resnet(key, arch: str = "resnet50", in_channels: int = 3):
                 key, k1 = jax.random.split(key)
                 bp["down"] = _init_conv(k1, 1, 1, cin, cout)
                 bp["down_bn"], bs["down_bn"] = _init_bn(cout)
-            bp["stride"] = stride
             lp.append(bp)
             ls.append(bs)
             cin = cout
@@ -95,26 +94,26 @@ def init_resnet(key, arch: str = "resnet50", in_channels: int = 3):
     return params, state
 
 
-def _bottleneck(x, bp, bs, training, expansion):
+def _bottleneck(x, bp, bs, training, expansion, stride):
     ns = {}
     identity = x
     if expansion == 4:
         h = _conv(x, bp["c1"])
         h, ns["b1"] = _bn_apply(h, bp["b1"], bs["b1"], training)
         h = jax.nn.relu(h)
-        h = _conv(h, bp["c2"], stride=bp["stride"])
+        h = _conv(h, bp["c2"], stride=stride)
         h, ns["b2"] = _bn_apply(h, bp["b2"], bs["b2"], training)
         h = jax.nn.relu(h)
         h = _conv(h, bp["c3"])
         h, ns["b3"] = _bn_apply(h, bp["b3"], bs["b3"], training)
     else:
-        h = _conv(x, bp["c1"], stride=bp["stride"])
+        h = _conv(x, bp["c1"], stride=stride)
         h, ns["b1"] = _bn_apply(h, bp["b1"], bs["b1"], training)
         h = jax.nn.relu(h)
         h = _conv(h, bp["c2"])
         h, ns["b2"] = _bn_apply(h, bp["b2"], bs["b2"], training)
     if "down" in bp:
-        identity = _conv(x, bp["down"], stride=bp["stride"])
+        identity = _conv(x, bp["down"], stride=stride)
         identity, ns["down_bn"] = _bn_apply(identity, bp["down_bn"],
                                             bs["down_bn"], training)
     return jax.nn.relu(h + identity), ns
@@ -136,8 +135,10 @@ def resnet_forward(params, state, x, arch: str = "resnet50",
     for li in range(1, 5):
         lp, ls = params[f"layer{li}"], state[f"layer{li}"]
         nls = []
-        for bp, bs in zip(lp, ls):
-            h, nbs = _bottleneck(h, bp, bs, training, expansion)
+        for bi, (bp, bs) in enumerate(zip(lp, ls)):
+            # stride is structural: first block of layers 2-4 downsamples
+            stride = 2 if (li > 1 and bi == 0) else 1
+            h, nbs = _bottleneck(h, bp, bs, training, expansion, stride)
             nls.append(nbs)
         ns[f"layer{li}"] = nls
         taps[f"layer{li}"] = h

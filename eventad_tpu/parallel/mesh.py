@@ -1,0 +1,41 @@
+"""Device-mesh helpers.
+
+The reference is strictly single-GPU (SURVEY.md 2.12); scaling here is
+JAX-native: a ``Mesh`` over ('data', 'model') axes, batch arrays sharded on
+'data', parameters replicated (the trained head is ~1M params — DP is the
+right parallelism for this workload; 'model' axis exists for the larger
+fusion/GRU matmuls if ever needed and for multi-chip dry-runs)."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(spec: str = "1", devices: Optional[Sequence] = None) -> Mesh:
+    """spec: "N" (data only) or "NxM" (data x model)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if "x" in spec:
+        d, m = map(int, spec.split("x"))
+    else:
+        d, m = int(spec), 1
+    n = d * m
+    assert n <= len(devices), f"mesh {spec} needs {n} devices"
+    arr = np.array(devices[:n]).reshape(d, m)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_pspec(batch) -> "jax.tree_util.PyTreeDef":
+    """PartitionSpec tree: leading axis of every batch array on 'data'."""
+    return jax.tree.map(lambda _: P("data"), batch)
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

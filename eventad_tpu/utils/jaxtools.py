@@ -1,0 +1,22 @@
+"""JAX runtime helpers shared by the entry points."""
+from __future__ import annotations
+
+import os
+
+
+def setup_compilation_cache(path: str = "/root/.cache/jax_cc"):
+    """Persistent compiled-program cache — first compiles of the big fused
+    pipeline go over the device tunnel and are expensive; every later process
+    reuses them."""
+    import jax
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def setup_debug_nans(enable: bool):
+    """TPU analog of the reference's always-on torch detect_anomaly
+    (utils/train.py:118) — opt-in here because it inhibits fusion."""
+    import jax
+    jax.config.update("jax_debug_nans", bool(enable))
