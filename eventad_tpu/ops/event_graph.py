@@ -101,6 +101,28 @@ def queue_rank(pix: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, ranks, big)
 
 
+def spiral_index(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form spiral visit order of offset (dx, dy) — equals
+    ``spiral_index_table(r)[dy+r, dx+r]`` for any covering radius, without a
+    table gather (TPU gathers cost ~1 element/cycle; this is pure VPU
+    arithmetic).
+
+    Ring r starts at (r, -r+1) with index (2r-1)^2 and walks
+    up the right edge, left along the top, down the left edge, right along
+    the bottom, ending at (r, -r) with index (2r+1)^2 - 1 (spiral.h:8-14).
+    """
+    r = jnp.maximum(jnp.abs(dx), jnp.abs(dy))
+    base = (2 * r - 1) * (2 * r - 1)
+    right = base + (dy + r - 1)                    # dx == r, dy > -r
+    top = base + 2 * r + (r - 1 - dx)              # dy == r
+    left = base + 4 * r + (r - 1 - dy)             # dx == -r
+    bottom = base + 6 * r + (dx + r - 1)           # dy == -r, dx > -r
+    idx = jnp.where((dx == r) & (dy > -r), right,
+                    jnp.where(dy == r, top,
+                              jnp.where(dx == -r, left, bottom)))
+    return jnp.where(r == 0, 0, idx)
+
+
 # ---------------------------------------------------------------------------
 # main builder
 # ---------------------------------------------------------------------------
@@ -131,7 +153,6 @@ def build_graph_single(pos: jnp.ndarray,
     """
     n = pos.shape[0]
     k_other = max_neighbors - 1
-    table = jnp.asarray(spiral_index_table(radius))
     q_cap = jnp.int32(max_queue_size)
 
     x, y, t = pos[:, 0], pos[:, 1], pos[:, 2]
@@ -141,34 +162,71 @@ def build_graph_single(pos: jnp.ndarray,
 
     lookback = min(lookback, n)
     offs = jnp.arange(1, lookback + 1, dtype=jnp.int32)  # j = i - offs
+    big_rank = jnp.int32(n + 1)
+
+    # Candidate windows are Toeplitz (row i looks at i-1 .. i-L): realize
+    # them as L dynamic slices of length C instead of [C, L] element gathers
+    # (XLA lowers vmapped dynamic_slice to a slice-sized gather — contiguous
+    # row copies instead of per-element fetches). Front-pad with L invalid
+    # entries so j < 0 falls on sentinels; end-pad to a whole number of
+    # chunks so no slice ever clamps.
+    n_chunks = (n + chunk - 1) // chunk
+    n_pad = n_chunks * chunk
+    tail = n_pad - n
+
+    def pad(arr, front_fill, tail_fill):
+        return jnp.concatenate([
+            jnp.full((lookback,), front_fill, arr.dtype), arr,
+            jnp.full((tail,), tail_fill, arr.dtype)])
+
+    x_p = pad(x, 0, 0)
+    y_p = pad(y, 0, 0)
+    t_p = pad(t, 0, 0)
+    valid_p = pad(valid, False, False)
+    ranks_p = pad(ranks, big_rank, big_rank)
+    x_e, y_e, t_e = x_p[lookback:], y_p[lookback:], t_p[lookback:]
+    valid_e = valid_p[lookback:]
 
     def chunk_fn(i0):
         ii = i0 + jnp.arange(chunk, dtype=jnp.int32)          # [C]
-        jj = ii[:, None] - offs[None, :]                      # [C, L]
-        j_ok = jj >= 0
-        jc = jnp.clip(jj, 0, n - 1)
-        dx = x[jc] - x[ii][:, None]
-        dy = y[jc] - y[ii][:, None]
-        dt = t[ii][:, None] - t[jc]
-        in_sq = (jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
-        ok = (j_ok & valid[jc] & valid[ii][:, None] & in_sq
-              & (dt <= delta_t_us) & (ranks[jc] < q_cap) & (ii[:, None] < n))
-        dxc = jnp.clip(dx + radius, 0, 2 * radius)
-        dyc = jnp.clip(dy + radius, 0, 2 * radius)
-        key = table[dyc, dxc] * q_cap + ranks[jc]
-        key = jnp.where(ok, key, _INVALID_KEY)
-        # smallest k_other keys == first neighbours in reference scan order
-        neg_top, arg_top = jax.lax.top_k(-key, k_other)       # [C, k_other]
-        sel_key = -neg_top
-        nbr = jnp.take_along_axis(jc, arg_top, axis=1)
-        mask = sel_key < _INVALID_KEY
-        return nbr, mask
 
-    n_chunks = (n + chunk - 1) // chunk
+        def win(arr):
+            return jax.vmap(
+                lambda d: jax.lax.dynamic_slice(
+                    arr, (i0 + lookback - d,), (chunk,)))(offs)   # [L, C]
+
+        xi = jax.lax.dynamic_slice(x_e, (i0,), (chunk,))
+        yi = jax.lax.dynamic_slice(y_e, (i0,), (chunk,))
+        ti = jax.lax.dynamic_slice(t_e, (i0,), (chunk,))
+        vi = jax.lax.dynamic_slice(valid_e, (i0,), (chunk,))
+        dx = win(x_p) - xi[None, :]
+        dy = win(y_p) - yi[None, :]
+        dt = ti[None, :] - win(t_p)
+        rk = win(ranks_p)
+        in_sq = (jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
+        ok = (win(valid_p) & vi[None, :] & in_sq
+              & (dt <= delta_t_us) & (rk < q_cap))
+        key = spiral_index(dx, dy) * q_cap + rk
+        key = jnp.where(ok, key, _INVALID_KEY)                # [L, C]
+        # smallest k_other keys == first neighbours in reference scan order.
+        # lax.top_k lowers to a full per-row sort (ruinous on TPU at L=1024);
+        # k_other rounds of argmin+mask are pure VPU work.
+        lanes = jnp.arange(lookback, dtype=jnp.int32)[:, None]
+        nbrs, masks = [], []
+        for _ in range(k_other):
+            idx = jnp.argmin(key, axis=0)                     # [C]
+            kmin = jnp.min(key, axis=0)
+            nbrs.append(ii - (idx + 1))                       # j = i - d
+            masks.append(kmin < _INVALID_KEY)
+            key = jnp.where(lanes == idx[None, :], _INVALID_KEY, key)
+        nbr = jnp.stack(nbrs, axis=1)
+        mask = jnp.stack(masks, axis=1)
+        return jnp.where(mask, nbr, 0), mask
+
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     nbrs, masks = jax.lax.map(chunk_fn, starts)
-    nbrs = nbrs.reshape(n_chunks * chunk, k_other)[:n]
-    masks = masks.reshape(n_chunks * chunk, k_other)[:n]
+    nbrs = nbrs.reshape(n_pad, k_other)[:n]
+    masks = masks.reshape(n_pad, k_other)[:n]
 
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     nbr = jnp.concatenate([self_idx, nbrs], axis=1)

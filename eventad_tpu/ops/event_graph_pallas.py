@@ -1,0 +1,213 @@
+"""Pallas TPU kernel for the event-graph neighbour search.
+
+Same contract as :func:`eventad_tpu.ops.event_graph.build_graph` (the XLA
+formulation) with explicit data movement tuned to the TPU:
+
+* the time-sorted stream is cut into chunks of ``chunk`` destinations; each
+  chunk's candidate window (the ``lookback`` preceding events + the chunk
+  itself) is laid out with the *window position on sublanes* and *128 chunks
+  on lanes*, so the per-offset candidate row is a dynamic **sublane** slice
+  of a VMEM block — no HBM gathers, no lane shifts;
+* a running top-K per destination is maintained with a vectorized
+  sorted-insertion (pure VPU) over the offset loop;
+* a scalar-prefetched per-program lookback bound derived from the temporal
+  cutoff (events are time-sorted) shortens the loop to offsets that can
+  still satisfy ``dt <= delta_t_us``.
+
+Priority key (identical to the XLA path and the reference CUDA scan order,
+ev_graph.cu:49-77): ``spiral_index(dx, dy) * Q + queue_rank``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .event_graph import queue_rank, spiral_index
+
+_INVALID = np.int32(2**31 - 1)
+_LANES = 128
+
+
+def _select_kernel(lmax_ref, x_ref, y_ref, t_ref, rk_ref,
+                   d_out_ref, *, lookback, chunk, k_pad,
+                   radius, delta_t_us, q_cap):
+    """Refs: windows ``[W, 128]`` (W = lookback + chunk, lanes = chunks);
+    outputs ``[k_pad, chunk, 128]`` (selected offsets + found mask)."""
+    l, cs = lookback, chunk
+    pid = pl.program_id(0)
+    xi = x_ref[l:l + cs, :]
+    yi = y_ref[l:l + cs, :]
+    ti = t_ref[l:l + cs, :]
+    rki = rk_ref[l:l + cs, :]
+
+    # key and offset packed in one int32: packed = key * (2*lookback) + d.
+    # keys are unique per destination, so the d low bits never change the
+    # order; one packed state array halves the per-step scratch traffic.
+    d_span = np.int32(2 * lookback)
+    packed_invalid = np.int32((2**30) // d_span * d_span)
+
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, cs, _LANES), 0)
+    d_block = 8    # offsets per iteration; keeps slab starts 8-aligned
+
+    def _step(m, top):
+        d0 = 1 + d_block * m
+        # one 8-aligned dynamic slab covers offsets d0 .. d0+7
+        s0 = l - d0 - (d_block - 1)
+        xs_b = x_ref[pl.ds(s0, cs + d_block), :]
+        ys_b = y_ref[pl.ds(s0, cs + d_block), :]
+        ts_b = t_ref[pl.ds(s0, cs + d_block), :]
+        rs_b = rk_ref[pl.ds(s0, cs + d_block), :]
+        for k in range(d_block):      # static sub-slices of the slab
+            d = d0 + (d_block - 1 - k)
+            dx = xs_b[k:k + cs, :] - xi
+            dy = ys_b[k:k + cs, :] - yi
+            ts = ts_b[k:k + cs, :]
+            rs = rs_b[k:k + cs, :]
+            ok = ((jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
+                  & (ti - ts <= delta_t_us) & (rs < q_cap)
+                  & (rki <= q_cap))
+            key = spiral_index(dx, dy) * q_cap + rs
+            pk = jnp.where(ok, key * d_span + d, packed_invalid)
+            kv = pk[None]
+            pos = jnp.sum((top < kv).astype(jnp.int32), axis=0)
+            shift = slot_ids >= pos[None]
+            insert = slot_ids == pos[None]
+            prev = jnp.roll(top, 1, axis=0)
+            new = jnp.where(insert, kv, jnp.where(shift, prev, top))
+            top = jnp.where(kv < packed_invalid, new, top)
+        return top
+
+    lmax = lmax_ref[pid]
+    n_steps = jnp.minimum((lmax + d_block - 1) // d_block, l // d_block)
+    top0 = jnp.full((k_pad, cs, _LANES), packed_invalid)
+    top = jax.lax.fori_loop(0, n_steps, _step, top0, unroll=False)
+
+    found = top < packed_invalid
+    # d == 0 encodes "no neighbour" (real offsets start at 1)
+    d_out_ref[...] = jnp.where(found, top % d_span, 0)
+
+
+def build_graph_pallas(pos: jnp.ndarray,
+                       valid: jnp.ndarray,
+                       *,
+                       radius: int,
+                       delta_t_us: int,
+                       max_neighbors: int = 16,
+                       max_queue_size: int = 128,
+                       lookback: int = 1024,
+                       chunk: int = 128,
+                       interpret: bool = False):
+    """Batched neighbour search: ``pos [B, N, 3]``, ``valid [B, N]``.
+    Returns ``nbr [B, N, K]``, ``nbr_mask [B, N, K]`` (slot 0 = self)."""
+    b, n, _ = pos.shape
+    k_other = max_neighbors - 1
+    k_pad = -(-k_other // 8) * 8      # sublane-friendly top-K depth
+    chunk = min(chunk, n)
+    chunk = max(-(-chunk // 8) * 8, 8)
+    # lookback rounded to a chunk multiple (window built from C-blocks) —
+    # also satisfies the (8, 128) sublane tiling
+    lookback = min(lookback, n)
+    lookback = max(-(-lookback // chunk) * chunk, chunk)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    tail = n_pad - n
+    w = lookback + chunk
+    q_cap = np.int32(max_queue_size)
+
+    x = pos[:, :, 0]
+    y = pos[:, :, 1]
+    t = pos[:, :, 2]
+    pix = y * jnp.int32(2**15) + x
+    ranks = jax.vmap(queue_rank)(pix, valid)
+    # encode: valid events clip to [0, Q] (>= Q means evicted from the queue
+    # but still a legal destination); Q+1 marks invalid/padded slots
+    big = jnp.int32(max_queue_size + 1)
+    ranks = jnp.where(valid, jnp.minimum(ranks, jnp.int32(max_queue_size)),
+                      big)
+
+    p_total = b * n_chunks
+    p_pad = -(-p_total // _LANES) * _LANES
+    n_programs = p_pad // _LANES
+
+    n_lblocks = lookback // chunk    # lookback padded to a chunk multiple
+
+    def to_lanes(a, fill):
+        """[B, N] -> [W, p_pad] overlapping windows, chunks on lanes.
+
+        One base-sized transpose + (L/C + 1) shifted slices instead of
+        transposing the W/C-times-expanded window matrix."""
+        ap = jnp.pad(a, ((0, 0), (lookback, tail)), constant_values=fill)
+        blocks = ap.reshape(b, n_lblocks + n_chunks, chunk)
+        tb = blocks.transpose(2, 0, 1)           # [C, B, nb] one relayout
+        rows = [
+            jax.lax.slice_in_dim(tb, k, k + n_chunks, axis=2)
+            for k in range(n_lblocks + 1)
+        ]                                        # each [C, B, nc]
+        wins = jnp.stack(rows, axis=0)           # [W/C, C, B, nc]
+        wins = wins.reshape(w, b * n_chunks)
+        return jnp.pad(wins, ((0, 0), (0, p_pad - p_total)),
+                       constant_values=fill)     # [W, p_pad]
+
+    xw = to_lanes(x, 0)
+    yw = to_lanes(y, 0)
+    tw = to_lanes(t, 0)
+    rw = to_lanes(ranks, big)
+
+    # per-program dynamic loop bound from the temporal cutoff
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    t_body = jnp.where(idx[None, :] < n, jnp.pad(
+        t, ((0, 0), (0, tail)), constant_values=2**30), jnp.int32(2**30))
+    starts = jax.vmap(
+        lambda tb: jnp.searchsorted(tb, tb - delta_t_us, side="left")
+    )(t_body).astype(jnp.int32)
+    li = jnp.clip(idx[None, :] - starts, 0, lookback)
+    li = jnp.where(idx[None, :] < n, li, 0)
+    lmax_chunk = jnp.max(li.reshape(b, n_chunks, chunk), axis=-1) \
+        .reshape(p_total)
+    lmax_chunk = jnp.pad(lmax_chunk, (0, p_pad - p_total))
+    lmax = jnp.max(lmax_chunk.reshape(n_programs, _LANES), axis=-1) \
+        .astype(jnp.int32)
+
+    # packed-key range check (see _select_kernel): key * 2L + d < 2^30
+    side = 2 * radius + 1
+    key_max = side * side * int(max_queue_size)
+    assert (key_max + 1) * 2 * lookback < 2**30, \
+        "radius/queue/lookback too large for packed int32 keys"
+
+    kern = functools.partial(
+        _select_kernel, lookback=lookback, chunk=chunk, k_pad=k_pad,
+        radius=np.int32(radius), delta_t_us=np.int32(delta_t_us),
+        q_cap=q_cap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_programs,),
+        in_specs=[pl.BlockSpec((w, _LANES), lambda pi, lm: (0, pi))
+                  for _ in range(4)],
+        out_specs=pl.BlockSpec((k_pad, chunk, _LANES),
+                               lambda pi, lm: (0, 0, pi)),
+    )
+    d_sel = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_pad, chunk, p_pad), jnp.int32),
+        interpret=interpret,
+    )(lmax, xw, yw, tw, rw)
+
+    # [k_pad, chunk, p_pad] -> [B, n_pad, k_other]
+    d_sel = d_sel[:k_other, :, :p_total].transpose(2, 1, 0) \
+        .reshape(b, n_pad, k_other)[:, :n]
+    found = d_sel > 0
+    dst = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    nbr = jnp.where(found, dst - d_sel, 0)
+
+    self_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :,
+                                                               None],
+                                (b, n, 1))
+    nbr = jnp.concatenate([self_idx, nbr], axis=2)
+    mask = jnp.concatenate([valid[:, :, None], found], axis=2)
+    return jnp.where(mask, nbr, 0), mask
