@@ -22,7 +22,12 @@ LAYER_SPECS = {
 }
 
 
-def _conv(x, w, stride=1, padding="SAME"):
+def _conv(x, w, stride=1, padding=None):
+    # torch-style symmetric padding ((k-1)//2 both sides) — XLA "SAME" pads
+    # asymmetrically under stride 2, which breaks weight-conversion parity
+    if padding is None:
+        ph, pw = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
+        padding = [(ph, ph), (pw, pw)]
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

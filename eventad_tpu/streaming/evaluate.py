@@ -1,0 +1,163 @@
+"""Streaming-mode evaluation harness: latency bench + sync-vs-streaming
+consistency check + FLOP comparison.
+
+Reference: ``evaluate_flops`` (src/dagr/asynchronous/evaluate_flops.py:82-261)
+— it runs the dense model and the asynchronous model on the same data and
+reports per-layer activation differences (the de-facto correctness test of
+the async runtime, SURVEY.md 4.1) plus dense-vs-sparse FLOPs.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.backbone import make_backbone_config
+from ..models.dagr import ModelParams, ModelState, graph_static_config, \
+    model_forward
+from ..utils.flops import FlopLog, backbone_flops
+from .runner import make_stream_step, update_image
+from .state import init_streaming_state
+
+
+def consistency_check(params: ModelParams, state: ModelState, cfg,
+                      events_pos: np.ndarray, events_pol: np.ndarray,
+                      boxes: np.ndarray, box_present: np.ndarray,
+                      *, n_chunks: int = 4, atol: float = 1e-3):
+    """Feed one window through the batch path and through the streaming path
+    in ``n_chunks`` pieces; compare the final per-slot logits.
+
+    Exact equality is expected when the stream buffer covers the full
+    window: the graph construction sees identical candidate sets and the
+    head runs one recurrent step either way.
+    Returns (max_abs_diff, batch_logits, stream_logits)."""
+    bc = make_backbone_config(cfg.replace(batch_size=1))
+    mc_cfg = cfg.replace(batch_size=1)
+    from ..models.eventad import EventADConfig
+    mc = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                       max_boxes=cfg.max_boxes)
+    gsc = graph_static_config(mc_cfg)
+
+    n = len(events_pol)
+    # ---- batch path (single forward over the whole window) ----
+    from ..data.batching import EventBatch
+    s1 = cfg.max_boxes + 1
+    t_now = int(events_pos[:, 2].max())
+    pos_rel = events_pos.copy()
+    pos_rel[:, 2] = events_pos[:, 2] - t_now + cfg.time_window_us
+    batch = EventBatch(
+        pos=pos_rel[None], polarity=events_pol[None],
+        valid=np.ones((1, n), bool),
+        image=np.zeros((1, cfg.model_height, cfg.model_width, 3),
+                       np.float32),
+        boxes=np.broadcast_to(boxes[None, None], (1, 2, s1, 4)).copy(),
+        box_present=np.broadcast_to(box_present[None, None],
+                                    (1, 2, s1)).copy(),
+        box_labels=np.zeros((1, s1), np.int32),
+        bbox=np.zeros((1, 1, 6), np.float32),
+        bbox_mask=np.ones((1, 1), bool),
+        bbox0=np.zeros((1, 1, 6), np.float32),
+        bbox0_mask=np.ones((1, 1), bool))
+    out, _ = model_forward(params, state, jax.tree.map(jnp.asarray, batch),
+                           bc, mc, gsc, img_net=cfg.img_net, training=False)
+    batch_logits = np.asarray(out.logits[0])
+
+    # ---- streaming path: same events fed in chunks, logits at the end ----
+    chunk = -(-n // n_chunks)
+    sstate = init_streaming_state(n_buf=n, max_boxes=cfg.max_boxes,
+                                  h_dim=cfg.h_dim)
+    if bc.use_image:
+        sstate = update_image(params, state, sstate,
+                              jnp.asarray(batch.image[0]), cfg.img_net)
+    step = make_stream_step(params, state, bc, mc, gsc, n_chunk=chunk)
+    logits = None
+    for ci in range(n_chunks):
+        lo, hi = ci * chunk, min((ci + 1) * chunk, n)
+        buf_pos = np.zeros((chunk, 3), np.int32)
+        buf_pol = np.zeros((chunk,), np.float32)
+        buf_pos[: hi - lo] = events_pos[lo:hi]
+        buf_pol[: hi - lo] = events_pol[lo:hi]
+        if ci < n_chunks - 1:
+            # intermediate chunks: no boxes yet (scores only at frame time)
+            sstate, _ = step(sstate, jnp.asarray(buf_pos),
+                             jnp.asarray(buf_pol), jnp.int32(hi - lo),
+                             jnp.zeros((s1, 4)), jnp.zeros((s1,), bool))
+        else:
+            sstate, logits = step(sstate, jnp.asarray(buf_pos),
+                                  jnp.asarray(buf_pol), jnp.int32(hi - lo),
+                                  jnp.asarray(boxes),
+                                  jnp.asarray(box_present))
+    stream_logits = np.asarray(logits)
+    valid = np.asarray(out.valid[0])
+    diff = np.abs(np.where(valid[:, None], batch_logits, 0)
+                  - np.where(valid[:, None], stream_logits, 0)).max()
+    return float(diff), batch_logits, stream_logits
+
+
+def latency_bench(params: ModelParams, state: ModelState, cfg, *,
+                  n_buf: int = 16384, n_chunk: int = 512,
+                  iters: int = 50, boxes_per_frame: int = 4, seed: int = 0):
+    """p50/p99 per-chunk latency of the jitted streaming step (the ~ms
+    response-time claim, BASELINE.md north star)."""
+    rng = np.random.RandomState(seed)
+    bc = make_backbone_config(cfg.replace(batch_size=1))
+    from ..models.eventad import EventADConfig
+    mc = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                       max_boxes=cfg.max_boxes)
+    gsc = graph_static_config(cfg.replace(batch_size=1))
+    s1 = cfg.max_boxes + 1
+    sstate = init_streaming_state(n_buf=n_buf, max_boxes=cfg.max_boxes,
+                                  h_dim=cfg.h_dim)
+    if bc.use_image:
+        img = jnp.asarray(rng.rand(cfg.model_height, cfg.model_width, 3)
+                          .astype(np.float32))
+        sstate = update_image(params, state, sstate, img, cfg.img_net)
+    step = make_stream_step(params, state, bc, mc, gsc, n_chunk=n_chunk)
+
+    boxes = np.zeros((s1, 4), np.float32)
+    present = np.zeros((s1,), bool)
+    for k in range(boxes_per_frame):
+        boxes[k + 1] = (10 + 20 * k, 10, 30, 30)
+        present[k + 1] = True
+    boxes = jnp.asarray(boxes)
+    present = jnp.asarray(present)
+
+    t_base = 1_000_000
+    times = []
+    for i in range(iters + 5):
+        ev = np.zeros((n_chunk, 3), np.int32)
+        ev[:, 0] = rng.randint(0, cfg.model_width, n_chunk)
+        ev[:, 1] = rng.randint(0, cfg.model_height, n_chunk)
+        ev[:, 2] = t_base + np.sort(rng.randint(0, 2000, n_chunk))
+        t_base += 2000
+        t0 = time.perf_counter()
+        sstate, logits = step(sstate, jnp.asarray(ev),
+                              jnp.ones((n_chunk,), jnp.float32),
+                              jnp.int32(n_chunk), boxes, present)
+        _ = np.asarray(logits).ravel()[0]   # force full sync
+        if i >= 5:
+            times.append(time.perf_counter() - t0)
+    times = np.sort(np.array(times))
+    return {
+        "p50_ms": float(times[len(times) // 2] * 1e3),
+        "p99_ms": float(times[int(len(times) * 0.99) - 1] * 1e3),
+        "mean_ms": float(times.mean() * 1e3),
+        "events_per_chunk": n_chunk,
+    }
+
+
+def flops_report(cfg, n_events: int, changed_events: int):
+    """Dense vs incremental FLOP comparison (evaluate_flops analog)."""
+    bc = make_backbone_config(cfg)
+    dense = backbone_flops(bc, n_events)
+    delta = backbone_flops(bc, n_events, streaming_changed=changed_events)
+    return {
+        "dense_mflops": dense.total() / 1e6,
+        "delta_mflops": delta.total() / 1e6,
+        "ratio": delta.total() / max(dense.total(), 1.0),
+        "dense_by_layer": dense.by_layer(),
+        "delta_by_layer": delta.by_layer(),
+    }
