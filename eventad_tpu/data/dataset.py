@@ -131,6 +131,18 @@ class SequenceDataset:
             self._events[name] = EventFile(d.event_file)
         return self._events[name]
 
+    def _preloaded_events(self, name: str, d: SequenceDir):
+        """Whole-sequence event arrays held in RAM; per-item windows are
+        then cut by the native C++ path (eventad_tpu.native.window_rebase)
+        instead of per-item h5 reads."""
+        if not hasattr(self, "_preload_cache"):
+            self._preload_cache = {}
+        if name not in self._preload_cache:
+            ef = self._event_file(name, d)
+            self._preload_cache[name] = (
+                {k: ef.f[f"events/{k}"][:] for k in "xytp"}, ef.t_offset)
+        return self._preload_cache[name]
+
     def _tracks_at(self, name: str, t_us: int) -> np.ndarray:
         tr = self._tracks[name]
         return tr[tr["t"] == t_us]
@@ -163,23 +175,30 @@ class SequenceDataset:
 
         image = self._load_image(d, i0)
 
-        ef = self._event_file(name, d)
-        toff = ef.t_offset
         t1_eff = t0 + self.num_us if self.num_us >= 0 else t1
-        ev = ef.load_window(t0 - toff, t1_eff - toff)
         if self.num_us >= 0 and not self.no_eval:
             det1 = interpolate_tracks(det0, det1, t1_eff)
 
-        # preprocess_events (dsec_data.py:124-130): keep y < height, rebase t
-        # so the window ends at time_window, polarity -> +-1
-        mask = ev["y"] < self.height
-        ev = {k: v[mask] for k, v in ev.items()}
-        t = ev["t"].astype(np.int64)
-        if len(t) > 0:
-            t = self.time_window + t - t[-1]
-        ev = dict(x=ev["x"].astype(np.int32), y=ev["y"].astype(np.int32),
-                  t=t.astype(np.int32),
-                  p=(2 * ev["p"].astype(np.int32) - 1).astype(np.int8))
+        if getattr(self, "preload_events", True):
+            # native hot path: slice + rebase + polarity map in C++
+            from .. import native
+            raw, toff = self._preloaded_events(name, d)
+            ev = native.window_rebase(raw, t0 - toff, t1_eff - toff,
+                                      self.time_window, self.height)
+        else:
+            ef = self._event_file(name, d)
+            toff = ef.t_offset
+            ev = ef.load_window(t0 - toff, t1_eff - toff)
+            # preprocess_events (dsec_data.py:124-130): keep y < height,
+            # rebase t so the window ends at time_window, polarity -> +-1
+            mask = ev["y"] < self.height
+            ev = {k: v[mask] for k, v in ev.items()}
+            t = ev["t"].astype(np.int64)
+            if len(t) > 0:
+                t = self.time_window + t - t[-1]
+            ev = dict(x=ev["x"].astype(np.int32),
+                      y=ev["y"].astype(np.int32), t=t.astype(np.int32),
+                      p=(2 * ev["p"].astype(np.int32) - 1).astype(np.int8))
 
         bbox = tracks_to_array(det1)
         bbox0 = tracks_to_array(det0)

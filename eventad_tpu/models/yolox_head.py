@@ -8,7 +8,7 @@ so the reference's scatter-into-dense bridge is a reshape here. Head layout
 per scale (dagr.py:174-187):
 
     stem (ConvBlock) -> cls_conv -> cls_pred (to dense, C=num_classes)
-                     \-> reg_conv -> reg_pred (4) + obj_pred (1)
+                     `-> reg_conv -> reg_pred (4) + obj_pred (1)
 
 CNN head (YOLOX BaseConv stacks) runs on the ResNet output maps and its
 logits are *added* to the GNN maps (hybrid fusion, dagr.py:247-262).

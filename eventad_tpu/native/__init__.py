@@ -1,0 +1,111 @@
+"""ctypes bindings for the native event-IO library (evio.cpp), with
+transparent numpy fallbacks when no compiler is available."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_i64 = ctypes.c_int64
+_i32 = ctypes.c_int32
+
+
+def _build() -> Optional[Path]:
+    src = _HERE / "evio.cpp"
+    out = _HERE / "libevio.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)],
+            check=True, capture_output=True, timeout=120)
+        return out
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        path = _build()
+        if path is not None:
+            lib = ctypes.CDLL(str(path))
+            u16p = np.ctypeslib.ndpointer(np.uint16, flags="C")
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+            i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
+            lib.window_rebase.restype = _i64
+            lib.window_rebase.argtypes = [
+                u16p, u16p, i64p, u8p, _i64, _i64, _i64, _i64, _i32,
+                i32p, i32p, i32p, i8p, _i64]
+            lib.downsample_filter.restype = _i64
+            lib.downsample_filter.argtypes = [
+                u16p, u16p, i64p, u8p, _i64, _i32, _i32, _i32, _i64,
+                u16p, u16p, i64p, u8p]
+            lib.subsample_balanced.restype = _i64
+            lib.subsample_balanced.argtypes = [
+                i32p, i32p, i32p, i8p, _i64, _i64, i32p, i32p, i32p, i8p]
+            _LIB = lib
+    return _LIB
+
+
+def window_rebase(events: dict, t0: int, t1: int, time_window: int,
+                  height: int) -> dict:
+    """Window slice + rebase + polarity map (the data layer's per-item hot
+    path; see dataset.SequenceDataset.__getitem__)."""
+    x = np.ascontiguousarray(events["x"], np.uint16)
+    y = np.ascontiguousarray(events["y"], np.uint16)
+    t = np.ascontiguousarray(events["t"], np.int64)
+    p = np.ascontiguousarray(events["p"], np.uint8)
+    lib = get_lib()
+    n = len(t)
+    if lib is not None:
+        ox = np.empty(n, np.int32)
+        oy = np.empty(n, np.int32)
+        ot = np.empty(n, np.int32)
+        op = np.empty(n, np.int8)
+        m = lib.window_rebase(x, y, t, p, n, t0, t1, time_window, height,
+                              ox, oy, ot, op, n)
+        return dict(x=ox[:m], y=oy[:m], t=ot[:m], p=op[:m])
+    # numpy fallback
+    i0, i1 = np.searchsorted(t, (t0, t1))
+    sel = slice(i0, i1)
+    keep = y[sel] < height
+    tt = t[sel][keep]
+    if len(tt):
+        tt = time_window + tt - tt[-1]
+    return dict(x=x[sel][keep].astype(np.int32),
+                y=y[sel][keep].astype(np.int32),
+                t=tt.astype(np.int32),
+                p=(2 * p[sel][keep].astype(np.int32) - 1).astype(np.int8))
+
+
+def subsample_balanced(events: dict, target: int) -> dict:
+    x = np.ascontiguousarray(events["x"], np.int32)
+    y = np.ascontiguousarray(events["y"], np.int32)
+    t = np.ascontiguousarray(events["t"], np.int32)
+    p = np.ascontiguousarray(events["p"], np.int8).reshape(-1)
+    lib = get_lib()
+    n = len(t)
+    if lib is not None and n > target:
+        ox = np.empty(n, np.int32)
+        oy = np.empty(n, np.int32)
+        ot = np.empty(n, np.int32)
+        op = np.empty(n, np.int8)
+        m = lib.subsample_balanced(x, y, t, p, n, target, ox, oy, ot, op)
+        return dict(x=ox[:m], y=oy[:m], t=ot[:m], p=op[:m])
+    if n <= target:
+        return dict(x=x, y=y, t=t, p=p)
+    idx = np.linspace(0, n - 1, target).astype(np.int64)
+    return dict(x=x[idx], y=y[idx], t=t[idx], p=p[idx])
