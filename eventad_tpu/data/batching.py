@@ -26,6 +26,9 @@ class EventBatch(NamedTuple):
     pos: np.ndarray          # [B, N, 3] int32 (x, y, t_us)
     polarity: np.ndarray     # [B, N] float32 +-1
     valid: np.ndarray        # [B, N] bool
+    rank: np.ndarray         # [B, N] int32 per-pixel recency rank (host-
+                             # computed by the native evio path; the device
+                             # kernels consume it directly)
     image: np.ndarray        # [B, H, W, 3] float32 in [0,1]
     # slotted boxes for the anomaly head (slot = track id 0..max_boxes)
     boxes: np.ndarray        # [B, 2, S, 4] float32 xywh pixels
@@ -82,6 +85,7 @@ def collate(items: List[Item], cfg: Config,
     pos = np.zeros((bsz, n_cap, 3), np.int32)
     pol = np.zeros((bsz, n_cap), np.float32)
     valid = np.zeros((bsz, n_cap), bool)
+    rank = np.full((bsz, n_cap), 2**30, np.int32)
     image = np.zeros((bsz, h, w, 3), np.float32)
     boxes = np.zeros((bsz, 2, s, 4), np.float32)
     present = np.zeros((bsz, 2, s), bool)
@@ -102,6 +106,9 @@ def collate(items: List[Item], cfg: Config,
         pos[b, :n, 2] = it.events["t"][sl]
         pol[b, :n] = it.events["p"][sl].astype(np.float32).reshape(-1)
         valid[b, :n] = True
+        from .. import native
+        rank[b, :n] = native.queue_ranks(pos[b, :n, 0], pos[b, :n, 1],
+                                         w, h)
         image[b] = it.image.astype(np.float32) / 255.0
         b1, p1, l1 = _slot_boxes(it.bbox, cfg.max_boxes)
         b0, p0, _ = _slot_boxes(it.bbox0, cfg.max_boxes)
@@ -116,8 +123,8 @@ def collate(items: List[Item], cfg: Config,
         seqs.append(it.sequence)
         fids.append(it.frame_id)
 
-    batch = EventBatch(pos, pol, valid, image, boxes, present, labels,
-                       bbox, bbox_m, bbox0, bbox0_m)
+    batch = EventBatch(pos, pol, valid, rank, image, boxes, present,
+                       labels, bbox, bbox_m, bbox0, bbox0_m)
     return batch, BatchMeta(seqs, fids, len(items[:bsz]))
 
 

@@ -24,6 +24,9 @@ def make_synthetic_batch(cfg: Config, seed: int = 0,
     pos = np.stack([x, y, t], axis=-1)
     pol = rng.choice([-1.0, 1.0], (b, n)).astype(np.float32)
     valid = np.ones((b, n), bool)
+    from .. import native
+    rank = np.stack([native.queue_ranks(x[i], y[i], w, h)
+                     for i in range(b)])
     image = rng.rand(b, h, w, 3).astype(np.float32)
 
     boxes = np.zeros((b, 2, s, 4), np.float32)
@@ -48,5 +51,5 @@ def make_synthetic_batch(cfg: Config, seed: int = 0,
             bbox_m[bi, k] = True
             bbox0[bi, k] = (bx, by, bw, bh, cls, tid)
             bbox0_m[bi, k] = True
-    return EventBatch(pos, pol, valid, image, boxes, present, labels,
-                      bbox, bbox_m, bbox0, bbox0_m)
+    return EventBatch(pos, pol, valid, rank, image, boxes, present,
+                      labels, bbox, bbox_m, bbox0, bbox0_m)

@@ -72,7 +72,8 @@ def init_model(key, cfg: Config):
 def build_level0_graph(pos: jnp.ndarray,       # [B, N, 3] int32
                        polarity: jnp.ndarray,  # [B, N] float
                        valid: jnp.ndarray,     # [B, N] bool
-                       cfg_static) -> Graph:
+                       cfg_static,
+                       ranks: jnp.ndarray = None) -> Graph:
     """cfg_static: (radius_px, delta_t_us, max_neighbors, max_queue_size,
     lookback, width, height, time_window)."""
     (radius_px, delta_t_us, max_nb, max_q, lookback, width, height,
@@ -81,11 +82,11 @@ def build_level0_graph(pos: jnp.ndarray,       # [B, N, 3] int32
     if jax.default_backend() == "tpu":
         from ..ops.event_graph_pallas import build_graph_pallas
         nbr, nbrm = build_graph_pallas(
-            pos, valid, radius=radius_px, delta_t_us=delta_t_us,
+            pos, valid, ranks, radius=radius_px, delta_t_us=delta_t_us,
             max_neighbors=max_nb, max_queue_size=max_q,
             lookback=min(lookback, n))
     else:
-        nbr, nbrm = build_graph(pos, valid, radius=radius_px,
+        nbr, nbrm = build_graph(pos, valid, ranks, radius=radius_px,
                                 delta_t_us=delta_t_us, max_neighbors=max_nb,
                                 max_queue_size=max_q,
                                 lookback=min(lookback, n))
@@ -111,10 +112,10 @@ def dagr_extract_features(params: DAGRParams, state: DAGRState,
                           pos, polarity, valid, image,
                           bc: BackboneConfig, gsc: tuple, *,
                           img_net: str = "resnet50",
-                          training: bool = False):
+                          training: bool = False, ranks=None):
     """Frozen-DAGR feature path (reference dagr.py:108-130): returns
     (out3, out4) graphs + new state. Gradients are stopped by the caller."""
-    g0 = build_level0_graph(pos, polarity, valid, gsc)
+    g0 = build_level0_graph(pos, polarity, valid, gsc, ranks)
     image_feats = None
     ncs = state.cnn
     if bc.use_image:
@@ -144,7 +145,8 @@ def model_forward(params: ModelParams,
     (reference EventAD.py:149-150,357-360)."""
     outs, nds = dagr_extract_features(
         params.dagr, state.dagr, batch.pos, batch.polarity, batch.valid,
-        batch.image, bc, gsc, img_net=img_net, training=False)
+        batch.image, bc, gsc, img_net=img_net, training=False,
+        ranks=getattr(batch, "rank", None))
     out4 = outs[1]
     out4 = out4._replace(x=jax.lax.stop_gradient(out4.x))
 

@@ -54,7 +54,8 @@ def detector_forward(params: DetectorParams,
     """Eval-path detection forward. Returns (detections dict of fixed-shape
     arrays, raw decoded outputs, new_state)."""
     gsc = graph_static_config(cfg)
-    g0 = build_level0_graph(batch.pos, batch.polarity, batch.valid, gsc)
+    g0 = build_level0_graph(batch.pos, batch.polarity, batch.valid,
+                            gsc, getattr(batch, 'rank', None))
     image_feats = None
     image_outs = None
     ncs = state.dagr.cnn

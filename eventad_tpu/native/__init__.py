@@ -56,8 +56,33 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.subsample_balanced.restype = _i64
             lib.subsample_balanced.argtypes = [
                 i32p, i32p, i32p, i8p, _i64, _i64, i32p, i32p, i32p, i8p]
+            lib.queue_ranks.restype = None
+            lib.queue_ranks.argtypes = [i32p, i32p, _i64, _i32, _i32, i32p]
             _LIB = lib
     return _LIB
+
+
+def queue_ranks(x: np.ndarray, y: np.ndarray, width: int,
+                height: int) -> np.ndarray:
+    """Per-pixel recency rank (number of later events at the same pixel)."""
+    x = np.ascontiguousarray(x, np.int32)
+    y = np.ascontiguousarray(y, np.int32)
+    n = len(x)
+    lib = get_lib()
+    out = np.empty(n, np.int32)
+    if lib is not None:
+        lib.queue_ranks(x, y, n, width, height, out)
+        return out
+    # numpy fallback: stable sort by pixel, rank from group end
+    pix = y.astype(np.int64) * width + x
+    order = np.argsort(pix, kind="stable")
+    sp = pix[order]
+    pos = np.arange(n)
+    is_last = np.concatenate([sp[1:] != sp[:-1], [True]])
+    last_pos = np.where(is_last, pos, n)
+    last_pos = np.minimum.accumulate(last_pos[::-1])[::-1]
+    out[order] = (last_pos - pos).astype(np.int32)
+    return out
 
 
 def window_rebase(events: dict, t0: int, t1: int, time_window: int,

@@ -122,4 +122,21 @@ int64_t subsample_balanced(
     return m;
 }
 
+// Per-pixel recency rank: rank[i] = number of LATER events sharing pixel
+// (x[i], y[i]) — the event's slot in the reference's per-pixel FIFO after
+// the whole window is inserted (ev_graph.cu:169-212). One backward pass
+// with a dense per-pixel counter table.
+void queue_ranks(
+    const int32_t* x, const int32_t* y, int64_t n,
+    int32_t width, int32_t height, int32_t* rank_out)
+{
+    int64_t cells = (int64_t)width * height;
+    int32_t* cnt = new int32_t[cells]();
+    for (int64_t i = n - 1; i >= 0; --i) {
+        int64_t c = (int64_t)y[i] * width + x[i];
+        rank_out[i] = cnt[c]++;
+    }
+    delete[] cnt;
+}
+
 }  // extern "C"

@@ -128,6 +128,7 @@ def spiral_index(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 def build_graph_single(pos: jnp.ndarray,
                        valid: jnp.ndarray,
+                       ranks: jnp.ndarray = None,
                        *,
                        radius: int,
                        delta_t_us: int,
@@ -156,9 +157,12 @@ def build_graph_single(pos: jnp.ndarray,
     q_cap = jnp.int32(max_queue_size)
 
     x, y, t = pos[:, 0], pos[:, 1], pos[:, 2]
-    # pixel code; width bound not needed, any injective code works
-    pix = y.astype(jnp.int32) * jnp.int32(2**15) + x.astype(jnp.int32)
-    ranks = queue_rank(pix, valid)
+    if ranks is None:
+        # pixel code; width bound not needed, any injective code works
+        pix = y.astype(jnp.int32) * jnp.int32(2**15) + x.astype(jnp.int32)
+        ranks = queue_rank(pix, valid)
+    else:
+        ranks = jnp.where(valid, ranks, jnp.int32(n + 1))
 
     lookback = min(lookback, n)
     offs = jnp.arange(1, lookback + 1, dtype=jnp.int32)  # j = i - offs
@@ -235,10 +239,12 @@ def build_graph_single(pos: jnp.ndarray,
     return nbr, nbr_mask
 
 
-def build_graph(pos: jnp.ndarray, valid: jnp.ndarray, **kw):
+def build_graph(pos: jnp.ndarray, valid: jnp.ndarray, ranks=None, **kw):
     """Batched neighbour search: ``pos [B, N, 3]``, ``valid [B, N]``."""
     fn = functools.partial(build_graph_single, **kw)
-    return jax.vmap(fn)(pos, valid)
+    if ranks is None:
+        return jax.vmap(lambda p, v: fn(p, v))(pos, valid)
+    return jax.vmap(fn)(pos, valid, ranks)
 
 
 # ---------------------------------------------------------------------------

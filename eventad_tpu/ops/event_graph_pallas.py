@@ -94,6 +94,7 @@ def _select_kernel(lmax_ref, x_ref, y_ref, t_ref, rk_ref,
 
 def build_graph_pallas(pos: jnp.ndarray,
                        valid: jnp.ndarray,
+                       ranks: jnp.ndarray = None,
                        *,
                        radius: int,
                        delta_t_us: int,
@@ -122,8 +123,10 @@ def build_graph_pallas(pos: jnp.ndarray,
     x = pos[:, :, 0]
     y = pos[:, :, 1]
     t = pos[:, :, 2]
-    pix = y * jnp.int32(2**15) + x
-    ranks = jax.vmap(queue_rank)(pix, valid)
+    if ranks is None:   # in-graph fallback (streaming path); the batch
+        # pipeline precomputes ranks on the host (native evio)
+        pix = y * jnp.int32(2**15) + x
+        ranks = jax.vmap(queue_rank)(pix, valid)
     # encode: valid events clip to [0, Q] (>= Q means evicted from the queue
     # but still a legal destination); Q+1 marks invalid/padded slots
     big = jnp.int32(max_queue_size + 1)

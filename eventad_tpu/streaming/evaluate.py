@@ -48,9 +48,12 @@ def consistency_check(params: ModelParams, state: ModelState, cfg,
     t_now = int(events_pos[:, 2].max())
     pos_rel = events_pos.copy()
     pos_rel[:, 2] = events_pos[:, 2] - t_now + cfg.time_window_us
+    from .. import native
+    ranks = native.queue_ranks(pos_rel[:, 0], pos_rel[:, 1],
+                               cfg.model_width, cfg.model_height)
     batch = EventBatch(
         pos=pos_rel[None], polarity=events_pol[None],
-        valid=np.ones((1, n), bool),
+        valid=np.ones((1, n), bool), rank=ranks[None],
         image=np.zeros((1, cfg.model_height, cfg.model_width, 3),
                        np.float32),
         boxes=np.broadcast_to(boxes[None, None], (1, 2, s1, 4)).copy(),

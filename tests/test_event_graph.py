@@ -95,3 +95,18 @@ def test_edge_invariants(rng):
     nbr, mask = np.asarray(nbr), np.asarray(mask)
     dst = np.arange(200)[:, None]
     assert (nbr[mask] <= np.broadcast_to(dst, nbr.shape)[mask]).all()
+
+
+def test_precomputed_ranks_match_ingraph(rng):
+    """Host-computed ranks (native evio) must reproduce the in-graph path."""
+    from eventad_tpu import native
+    pos, valid = make_events(rng, 300, w=16, h=12, t_max=20_000)
+    kw = dict(radius=3, delta_t_us=8_000, max_neighbors=8,
+              max_queue_size=4)
+    ranks = native.queue_ranks(pos[:, 0], pos[:, 1], 16, 12)
+    a = build_graph(jnp.asarray(pos)[None], jnp.asarray(valid)[None],
+                    lookback=300, chunk=64, **kw)
+    b = build_graph(jnp.asarray(pos)[None], jnp.asarray(valid)[None],
+                    jnp.asarray(ranks)[None], lookback=300, chunk=64, **kw)
+    assert (np.asarray(a[1]) == np.asarray(b[1])).all()
+    assert (np.asarray(a[0]) == np.asarray(b[0])).all()
