@@ -99,6 +99,8 @@ class Config:
 
     # ---- test ----
     test_checkpoint: str = ""
+    legacy_frame_collapse: bool = False   # reproduce the reference-as-run
+    # frame-id collapse (utils/test.py:49-52 + utils/utils.py:70-93)
     measure_fps: bool = EVENTAD_DEFAULTS["measure_fps"]
     fps_warmup_batches: int = EVENTAD_DEFAULTS["fps_warmup_batches"]
     fps_num_batches: int = EVENTAD_DEFAULTS["fps_num_batches"]

@@ -76,8 +76,9 @@ def main(argv=None):
             params, state, jax.tree.map(np.asarray, batch))
         return np.asarray(logits), np.asarray(valid), np.asarray(labels)
 
-    results = collect_predictions(forward, test_loader,
-                                  threshold=cfg.threshold)
+    results = collect_predictions(
+        forward, test_loader, threshold=cfg.threshold,
+        legacy_frame_collapse=cfg.legacy_frame_collapse)
     bbox_metrics = calculate_bbox_metrics(results["all_labels"],
                                           results["all_scores"])
     frame_metrics = calculate_frame_metrics(results["frame_data"])
