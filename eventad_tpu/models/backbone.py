@@ -177,7 +177,8 @@ def backbone_forward(params: BackboneParams,
                      image_feats: Optional[Sequence[jnp.ndarray]],
                      bc: BackboneConfig,
                      *,
-                     training: bool = False):
+                     training: bool = False,
+                     start_level: int = 0):
     """Runs the 5-block pyramid.
 
     Args:
@@ -186,6 +187,10 @@ def backbone_forward(params: BackboneParams,
 
     Returns ``(out3, out4), new_state`` where out3/out4 are Graphs at the
     pool-3 / pool-4 cell tables (reference net.py:165-184).
+
+    ``start_level > 0`` resumes the pyramid from a cached intermediate: g0
+    must then be the level ``start_level - 1`` output graph WITH the next
+    image features already concatenated (the incremental streaming path).
     """
     act = _act(bc.activation)
     new_states = []
@@ -204,11 +209,12 @@ def backbone_forward(params: BackboneParams,
         return g._replace(x=jnp.concatenate([g.x, rel], axis=1))
 
     outs = []
-    for level in range(5):
+    for level in range(start_level, 5):
         if level > 0:
             # next level's CNN features are appended at the *previous* level's
             # node positions, then pooled together (net.py:116,127,140,153,169)
-            g = cat_image(g, level)
+            if level > start_level:
+                g = cat_image(g, level)
             aggr = "mean" if level == 4 else bc.pooling_aggr  # net.py:94
             pooled = pool_graph(
                 g.x, g.pos, g.nbr, g.nbr_mask, g.node_mask, g.batch,
@@ -228,4 +234,5 @@ def backbone_forward(params: BackboneParams,
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)
-    return tuple(outs), BackboneState(tuple(new_states))
+    full_states = list(state.layers[:start_level]) + new_states
+    return tuple(outs), BackboneState(tuple(full_states))

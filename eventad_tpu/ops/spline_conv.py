@@ -49,7 +49,8 @@ def init_spline_conv(key, in_channels: int, out_channels: int,
 
 
 def cartesian_attr(pos: jnp.ndarray, nbr: jnp.ndarray, nbr_mask: jnp.ndarray,
-                   max_value: float, clamp: bool = True) -> jnp.ndarray:
+                   max_value: float, clamp: bool = True,
+                   pos_dst: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Pseudo-coordinates of each (dst, slot) edge: PyG ``T.Cartesian``
     (norm=True, cat=False) computes ``(pos[dst] - pos[src]) / (2*max) + 0.5``
     (reference net.py:71,75-95 + components.py:25-35).
@@ -57,7 +58,8 @@ def cartesian_attr(pos: jnp.ndarray, nbr: jnp.ndarray, nbr_mask: jnp.ndarray,
     Args: pos ``[N, >=2]`` normalized float positions; nbr/nbr_mask ``[N, K]``.
     Returns attr ``[N, K, 2]``.
     """
-    d = pos[:, None, :2] - pos[nbr][..., :2]
+    pd = pos if pos_dst is None else pos_dst
+    d = pd[:, None, :2] - pos[nbr][..., :2]
     attr = d / (2.0 * max_value) + 0.5
     if clamp:  # reference net.py:121 clamps layer-1 attrs into [0, 1]
         attr = jnp.clip(attr, 0.0, 1.0)
@@ -72,7 +74,8 @@ def spline_conv(x: jnp.ndarray,
                 *,
                 kernel_size: int,
                 aggr: str = "sum",
-                node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                node_mask: Optional[jnp.ndarray] = None,
+                x_dst: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Args:
       x: ``[N, Cin]`` node features.
       nbr: ``[N, K]`` int32 source index per (destination, slot).
@@ -80,11 +83,15 @@ def spline_conv(x: jnp.ndarray,
       attr: ``[N, K, 2]`` pseudo-coordinates in [0, 1].
       aggr: 'sum' or 'mean' over incoming edges (reference args.aggr).
       node_mask: optional ``[N]`` bool; output zeroed at invalid nodes.
+      x_dst: optional ``[N_dst, Cin]`` destination features when the
+        destination rows are a subset of the gather source ``x`` (the
+        incremental streaming path); ``nbr`` then has ``N_dst`` rows.
 
-    Returns ``[N, Cout]``.
+    Returns ``[N_dst, Cout]`` (``N_dst = nbr.shape[0]``).
     """
     n, k = nbr.shape
     cin = x.shape[1]
+    xd = x if x_dst is None else x_dst
     m = kernel_size * kernel_size
     w, idx = spline_basis(attr, kernel_size)           # [N, K, 4]
     w = w * nbr_mask[..., None]
@@ -100,7 +107,7 @@ def spline_conv(x: jnp.ndarray,
     z = jnp.einsum("nkm,nkc->nmc", coeff, x_j)         # [N, M, Cin]
     out = z.reshape(n, m * cin) @ params.weight.reshape(m * cin, -1)
     if params.root is not None:
-        out = out + x @ params.root
+        out = out + xd @ params.root
     if params.bias is not None:
         out = out + params.bias
     if node_mask is not None:

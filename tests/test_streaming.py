@@ -63,3 +63,61 @@ def test_flops_report():
     r = flops_report(cfg, n_events=4096, changed_events=64)
     assert r["dense_mflops"] > r["delta_mflops"] > 0
     assert r["ratio"] < 0.2
+
+
+def test_incremental_matches_batch(rng):
+    """Incremental (cached level-0) streaming == batch path, chunk by chunk
+    (the reference async runtime's consistency contract)."""
+    from eventad_tpu.models.backbone import make_backbone_config
+    from eventad_tpu.models.dagr import graph_static_config
+    from eventad_tpu.models.eventad import EventADConfig
+    from eventad_tpu.streaming import incremental as inc
+    from eventad_tpu.streaming.evaluate import consistency_check
+
+    cfg = _small_cfg()
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    n = 512
+    pos = np.zeros((n, 3), np.int32)
+    pos[:, 0] = rng.randint(0, cfg.model_width, n)
+    pos[:, 1] = rng.randint(0, cfg.model_height, n)
+    pos[:, 2] = 1_000_000 + np.sort(rng.randint(0, 50_000, n))
+    pol = rng.choice([-1.0, 1.0], n).astype(np.float32)
+    s1 = cfg.max_boxes + 1
+    boxes = np.zeros((s1, 4), np.float32)
+    present = np.zeros((s1,), bool)
+    boxes[1] = (5, 5, 20, 15)
+    boxes[2] = (25, 12, 15, 15)
+    present[1] = present[2] = True
+
+    # batch-path logits (reuses the harness; diff vs full-recompute stream)
+    _, batch_logits, _ = consistency_check(params, state, cfg, pos, pol,
+                                           boxes, present, n_chunks=2)
+
+    mcfg = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                         max_boxes=cfg.max_boxes)
+    bc1 = make_backbone_config(cfg.replace(batch_size=1))
+    gsc = graph_static_config(cfg.replace(batch_size=1))
+    n_chunk = 128
+    st = inc.init_incremental_state(n, bc1, mcfg)
+    refresh, step = inc.make_incremental_step(params, state, bc1, mcfg,
+                                              gsc, n_chunk=n_chunk,
+                                              n_buf=n)
+    # first chunk arrives, caches built once, then pure incremental steps
+    st = inc.insert_raw(st, jnp.asarray(pos[:n_chunk]),
+                        jnp.asarray(pol[:n_chunk]), jnp.int32(n_chunk))
+    st = refresh(st)
+    logits = None
+    for ci in range(1, n // n_chunk):
+        lo, hi = ci * n_chunk, (ci + 1) * n_chunk
+        last = ci == n // n_chunk - 1
+        st, logits = step(st, jnp.asarray(pos[lo:hi]),
+                          jnp.asarray(pol[lo:hi]), jnp.int32(hi - lo),
+                          jnp.asarray(boxes) if last
+                          else jnp.zeros((s1, 4)),
+                          jnp.asarray(present) if last
+                          else jnp.zeros((s1,), bool))
+    got = np.asarray(logits)
+    # compare the slots that actually carry outputs (the batch path leaves
+    # non-valid slots unmasked in the raw logits array)
+    diff = np.abs(got[present] - batch_logits[present]).max()
+    assert diff < 1e-3, f"incremental diverges from batch: {diff}"
