@@ -14,19 +14,22 @@ setup_compilation_cache()
 def main():
     from eventad_tpu.config import Config
     from eventad_tpu.models.dagr import init_model
-    from eventad_tpu.streaming.evaluate import flops_report, latency_bench
+    from eventad_tpu.streaming.evaluate import (flops_report,
+                                                latency_bench_incremental)
 
-    n_chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    n_chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     cfg = Config(batch_size=1, use_image=True, event_buckets=(16384,))
     params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
-    lat = latency_bench(params, state, cfg, n_buf=16384, n_chunk=n_chunk,
-                        iters=40)
+    lat = latency_bench_incremental(params, state, cfg, n_buf=16384,
+                                    n_chunk=n_chunk, iters=40)
     fl = flops_report(cfg, n_events=16384, changed_events=n_chunk)
     print(json.dumps({
         "metric": "streaming_p50_latency_ms",
         "value": round(lat["p50_ms"], 3),
         "unit": "ms",
         "p99_ms": round(lat["p99_ms"], 3),
+        "append_p50_ms": round(lat["append_p50_ms"], 3),
+        "refresh_ms": round(lat["refresh_ms"], 3),
         "events_per_chunk": n_chunk,
         "dense_mflops": round(fl["dense_mflops"], 1),
         "delta_mflops": round(fl["delta_mflops"], 1),

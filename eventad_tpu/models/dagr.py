@@ -79,17 +79,11 @@ def build_level0_graph(pos: jnp.ndarray,       # [B, N, 3] int32
     (radius_px, delta_t_us, max_nb, max_q, lookback, width, height,
      time_window) = cfg_static
     b, n, _ = pos.shape
-    if jax.default_backend() == "tpu":
-        from ..ops.event_graph_pallas import build_graph_pallas
-        nbr, nbrm = build_graph_pallas(
-            pos, valid, ranks, radius=radius_px, delta_t_us=delta_t_us,
-            max_neighbors=max_nb, max_queue_size=max_q,
-            lookback=min(lookback, n))
-    else:
-        nbr, nbrm = build_graph(pos, valid, ranks, radius=radius_px,
-                                delta_t_us=delta_t_us, max_neighbors=max_nb,
-                                max_queue_size=max_q,
-                                lookback=min(lookback, n))
+    from ..ops.event_graph import build_graph_auto
+    nbr, nbrm = build_graph_auto(pos, valid, ranks, radius=radius_px,
+                                 delta_t_us=delta_t_us, max_neighbors=max_nb,
+                                 max_queue_size=max_q,
+                                 lookback=min(lookback, n))
     off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
     nbr_f = (nbr + off).reshape(b * n, -1)
     nbrm_f = nbrm.reshape(b * n, -1)

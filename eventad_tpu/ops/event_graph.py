@@ -305,3 +305,12 @@ def build_graph_numpy(pos: np.ndarray,
                 if cnt >= max_neighbors:
                     break
     return nbr, mask
+
+
+def build_graph_auto(pos, valid, ranks=None, **kw):
+    """Batched neighbour search dispatching to the Pallas kernel on TPU and
+    the XLA formulation elsewhere. ``pos [B, N, 3]``."""
+    if jax.default_backend() == "tpu":
+        from .event_graph_pallas import build_graph_pallas
+        return build_graph_pallas(pos, valid, ranks, **kw)
+    return build_graph(pos, valid, ranks, **kw)

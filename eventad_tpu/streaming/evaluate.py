@@ -152,6 +152,87 @@ def latency_bench(params: ModelParams, state: ModelState, cfg, *,
     }
 
 
+def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
+                              *, n_buf: int = 16384, n_chunk: int = 512,
+                              iters: int = 50, boxes_per_frame: int = 4,
+                              seed: int = 0):
+    """p50/p99 per-chunk latency of the *incremental* streaming step
+    (cached level-0 activations; the reference async runtime analog)."""
+    from .incremental import (init_incremental_state, insert_raw,
+                              make_incremental_step)
+    from .incremental import update_image as inc_update_image
+    rng = np.random.RandomState(seed)
+    cfg1 = cfg.replace(batch_size=1)
+    bc = make_backbone_config(cfg1)
+    from ..models.eventad import EventADConfig
+    mc = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                       max_boxes=cfg.max_boxes)
+    gsc = graph_static_config(cfg1)
+    s1 = cfg.max_boxes + 1
+    st = init_incremental_state(n_buf, bc, mc)
+    if bc.use_image:
+        img = jnp.asarray(rng.rand(cfg.model_height, cfg.model_width, 3)
+                          .astype(np.float32))
+        st = inc_update_image(params, state, st, img, cfg.img_net)
+    refresh, step = make_incremental_step(params, state, bc, mc, gsc,
+                                          n_chunk=n_chunk, n_buf=n_buf)
+
+    boxes = np.zeros((s1, 4), np.float32)
+    present = np.zeros((s1,), bool)
+    for k in range(boxes_per_frame):
+        boxes[k + 1] = (10 + 20 * k, 10, 30, 30)
+        present[k + 1] = True
+    boxes = jnp.asarray(boxes)
+    present = jnp.asarray(present)
+
+    def chunk(t_base):
+        ev = np.zeros((n_chunk, 3), np.int32)
+        ev[:, 0] = rng.randint(0, cfg.model_width, n_chunk)
+        ev[:, 1] = rng.randint(0, cfg.model_height, n_chunk)
+        ev[:, 2] = t_base + np.sort(rng.randint(0, 2000, n_chunk))
+        return jnp.asarray(ev)
+
+    t_base = 1_000_000
+    # fill the buffer, then refresh once (the per-frame rebuild)
+    for _ in range(n_buf // n_chunk):
+        st = insert_raw(st, chunk(t_base), jnp.ones((n_chunk,)),
+                        jnp.int32(n_chunk))
+        t_base += 2000
+    t0 = time.perf_counter()
+    st = refresh(st)
+    _ = np.asarray(st.h1).ravel()[0]
+    refresh_ms = (time.perf_counter() - t0) * 1e3
+
+    times, atimes = [], []
+    for i in range(iters + 5):
+        ev = chunk(t_base)
+        t_base += 2000
+        t0 = time.perf_counter()
+        st, logits = step(st, ev, jnp.ones((n_chunk,)), jnp.int32(n_chunk),
+                          boxes, present)
+        _ = np.asarray(logits).ravel()[0]
+        if i >= 5:
+            times.append(time.perf_counter() - t0)
+        # append-only hot path (no score read)
+        ev = chunk(t_base)
+        t_base += 2000
+        t0 = time.perf_counter()
+        st = step.append(st, ev, jnp.ones((n_chunk,)), jnp.int32(n_chunk))
+        _ = np.asarray(st.t_now).ravel()[0]
+        if i >= 5:
+            atimes.append(time.perf_counter() - t0)
+    times = np.sort(np.array(times))
+    atimes = np.sort(np.array(atimes))
+    return {
+        "p50_ms": float(times[len(times) // 2] * 1e3),
+        "p99_ms": float(times[int(len(times) * 0.99) - 1] * 1e3),
+        "mean_ms": float(times.mean() * 1e3),
+        "append_p50_ms": float(atimes[len(atimes) // 2] * 1e3),
+        "refresh_ms": refresh_ms,
+        "events_per_chunk": n_chunk,
+    }
+
+
 def flops_report(cfg, n_events: int, changed_events: int):
     """Dense vs incremental FLOP comparison (evaluate_flops analog)."""
     bc = make_backbone_config(cfg)

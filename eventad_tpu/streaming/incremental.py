@@ -38,7 +38,7 @@ from ..models.eventad import EventADConfig, fusion_forward, spatial_attention
 from ..models.feature_extract import extract_box_features
 from ..models.graph import Graph, sample_image_features
 from ..models.gru import gru_step
-from ..ops.event_graph import build_graph_single
+from ..ops.event_graph import build_graph_auto, build_graph_single
 from ..ops.norm import batch_norm
 from ..ops.spline_conv import cartesian_attr, spline_conv
 
@@ -180,6 +180,12 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
     (call after ``update_image`` on each new frame and once at start).
     ``step_fn(state, new_pos, new_pol, n_new, boxes, box_present)`` appends
     a chunk and returns per-slot logits.
+
+    The returned namespace also exposes the split API:
+    ``append(state, new_pos, new_pol, n_new)`` ingests a chunk updating only
+    the level-0 caches (the event-rate hot path), and
+    ``read_scores(state, boxes, box_present)`` runs the pooled upper levels
+    + recurrent head on demand (frame rate / alert checks).
     """
     assert bc.batch_size == 1
     (radius_px, delta_t_us, max_nb, max_q, lookback, width, height,
@@ -194,10 +200,11 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         posn = _norm_pos(state.pos, state.t_now, gsc)
         x_in, img1 = _input_rows(state, posn, state.polarity, state.valid,
                                  bc)
-        nbr, nbrm = build_graph_single(
-            state.pos, state.valid, radius=radius_px,
+        nbr, nbrm = build_graph_auto(
+            state.pos[None], state.valid[None], radius=radius_px,
             delta_t_us=delta_t_us, max_neighbors=max_nb,
             max_queue_size=max_q, lookback=lb_exact)
+        nbr, nbrm = nbr[0], nbrm[0]
         attr = cartesian_attr(posn, nbr, nbrm, bc.cart_max[0], clamp=True)
         h_b1_rows, h1_rows, h_b1_full = _layer1_rows(
             params, mstate, bc, x_in, jnp.zeros_like(state.h_b1), nbr, nbrm,
@@ -206,8 +213,7 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
                               h_b1=h_b1_rows, h1=h1_rows)
 
     @jax.jit
-    def step(state: IncrementalState, new_pos, new_pol, n_new, boxes,
-             box_present):
+    def append(state: IncrementalState, new_pos, new_pol, n_new):
         k = n_chunk
         # 1. roll ring caches, insert new rows
         slot_ok = jnp.arange(k) < n_new
@@ -243,10 +249,11 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         w0 = n_buf - (lookback + k)
         tail_pos = jax.lax.dynamic_slice(pos, (w0, 0), (lookback + k, 3))
         tail_valid = jax.lax.dynamic_slice(valid, (w0,), (lookback + k,))
-        nbr_t, nbrm_t = build_graph_single(
-            tail_pos, tail_valid, radius=radius_px, delta_t_us=delta_t_us,
-            max_neighbors=max_nb, max_queue_size=max_q, lookback=lookback,
-            chunk=min(512, lookback + k))
+        nbr_t, nbrm_t = build_graph_auto(
+            tail_pos[None], tail_valid[None], radius=radius_px,
+            delta_t_us=delta_t_us, max_neighbors=max_nb,
+            max_queue_size=max_q, lookback=lookback)
+        nbr_t, nbrm_t = nbr_t[0], nbrm_t[0]
         nbr_c = nbr_t[-k:] + w0
         nbrm_c = nbrm_t[-k:]
         nbr_c = jnp.where(nbrm_c, nbr_c, 0)
@@ -259,14 +266,26 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         h_b1_rows, h1_rows, h_b1_full = _layer1_rows(
             params, mstate, bc, x_in, state.h_b1, nbr_c, nbrm_c, attr,
             x_rows, valid[-k:])
-        state = state._replace(x_in=x_in, img1=img1, nbr0=nbr0,
+        return state._replace(x_in=x_in, img1=img1, nbr0=nbr0,
                                nbrm0=nbrm0, h_b1=h_b1_full,
                                h1=state.h1.at[-k:].set(h1_rows))
 
-        # 5. upper levels + head (small static tables)
+    @jax.jit
+    def read_scores(state: IncrementalState, boxes, box_present):
+        posn = _norm_pos(state.pos, state.t_now, gsc)
         return _upper_levels_and_head(params, mstate, bc, mc, state, posn,
                                       boxes, box_present, gsc)
 
+    @jax.jit
+    def step(state: IncrementalState, new_pos, new_pol, n_new, boxes,
+             box_present):
+        state = append(state, new_pos, new_pol, n_new)
+        posn = _norm_pos(state.pos, state.t_now, gsc)
+        return _upper_levels_and_head(params, mstate, bc, mc, state, posn,
+                                      boxes, box_present, gsc)
+
+    step.append = append
+    step.read_scores = read_scores
     return refresh, step
 
 
