@@ -91,6 +91,10 @@ class Config:
     num_workers: int = EVENTAD_DEFAULTS["num_workers"]
     no_eval: bool = False
     num_interframe_steps: int = EVENTAD_DEFAULTS["num_interframe_steps"]
+    # reference quirk: training data comes from the split named "test" with
+    # the testing transform (utils/data.py:27-30); override to use "train"
+    train_split: str = "test"
+    use_augmentations: bool = False
 
     # ---- augmentation ----
     aug_p_flip: float = EVENTAD_DEFAULTS["aug_p_flip"]

@@ -57,9 +57,14 @@ def main(argv=None):
     dirs = setup_directories(cfg.output_dir, cfg.experiment_name, "train")
     result_dir, model_dir = dirs["result_dir"], dirs["model_dir"]
 
-    # reference quirk: training data comes from split "test" with the testing
-    # transform (utils/data.py:27-30)
-    train_ds = SequenceDataset(cfg, Path(cfg.dataset_directory), "test")
+    # reference quirk default: training data comes from split "test" with
+    # the testing transform (utils/data.py:27-30); --train_split overrides
+    transform = None
+    if cfg.use_augmentations:
+        from eventad_tpu.data.augment import training_transform
+        transform = training_transform(cfg, seed=cfg.seed)
+    train_ds = SequenceDataset(cfg, Path(cfg.dataset_directory),
+                               cfg.train_split, transform=transform)
     val_ds = SequenceDataset(cfg, Path(cfg.dataset_directory), "val")
     train_loader = Loader(train_ds, cfg, shuffle=True, seed=cfg.seed)
     val_loader = Loader(val_ds, cfg, shuffle=False)
