@@ -13,7 +13,7 @@ Everything here is shape-static: level 0 is the padded event table, levels
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

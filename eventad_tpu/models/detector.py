@@ -7,13 +7,13 @@ head's maps onto the GNN maps (dagr.py:247-262).
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .backbone import BackboneConfig, backbone_forward, make_backbone_config
+from .backbone import BackboneConfig, backbone_forward
 from .dagr import DAGRParams, DAGRState, build_level0_graph, \
     graph_static_config, init_dagr
 from ..ops.spline_conv import cartesian_attr

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.norm import batch_norm, init_batch_norm
-from ..ops.spline_conv import (SplineConvParams, cartesian_attr,
-                               init_spline_conv, spline_conv)
+from ..ops.spline_conv import (SplineConvParams, init_spline_conv,
+                               spline_conv)
 from .backbone import (BackboneConfig, ConvBlockParams, ConvBlockState, _act)
 from .graph import Graph
 

@@ -17,7 +17,7 @@ free and the neighbour table is arithmetic (no sort, no compaction).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

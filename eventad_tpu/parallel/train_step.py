@@ -11,8 +11,7 @@ the host loop) and optional ``jax.debug_nans``.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ the async runtime, SURVEY.md 4.1) plus dense-vs-sparse FLOPs.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +17,7 @@ import numpy as np
 from ..models.backbone import make_backbone_config
 from ..models.dagr import ModelParams, ModelState, graph_static_config, \
     model_forward
-from ..utils.flops import FlopLog, backbone_flops
+from ..utils.flops import backbone_flops
 from .runner import make_stream_step, update_image
 from .state import init_streaming_state
 

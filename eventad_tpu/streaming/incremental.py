@@ -38,7 +38,7 @@ from ..models.eventad import EventADConfig, fusion_forward, spatial_attention
 from ..models.feature_extract import extract_box_features
 from ..models.graph import Graph, sample_image_features
 from ..models.gru import gru_step
-from ..ops.event_graph import build_graph_auto, build_graph_single
+from ..ops.event_graph import build_graph_auto
 from ..ops.norm import batch_norm
 from ..ops.spline_conv import cartesian_attr, spline_conv
 

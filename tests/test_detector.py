@@ -5,7 +5,6 @@ import jax.numpy as jnp
 
 from eventad_tpu.config import Config
 from eventad_tpu.data.synthetic import make_synthetic_batch
-from eventad_tpu.models.backbone import make_backbone_config
 from eventad_tpu.models.detector import detector_forward, init_detector
 from eventad_tpu.models.yolox_loss import (convert_to_training_format,
                                            make_anchor_geometry, yolox_loss)

@@ -1,7 +1,6 @@
 """Metric functions vs the reference's own implementation, imported directly
 from the read-only snapshot (behavioural golden test, not a code copy)."""
 import importlib.util
-import sys
 
 import numpy as np
 import pytest

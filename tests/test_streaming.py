@@ -3,7 +3,6 @@ pattern, asynchronous/evaluate_flops.py:236-261) + ring buffer mechanics."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from eventad_tpu.config import Config
 from eventad_tpu.models.dagr import init_model

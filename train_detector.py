@@ -23,7 +23,6 @@ import optax
 from eventad_tpu.config import parse_args
 from eventad_tpu.data.batching import Loader
 from eventad_tpu.data.dataset import SequenceDataset
-from eventad_tpu.models.backbone import make_backbone_config
 from eventad_tpu.models.detector import detector_forward, init_detector
 from eventad_tpu.models.yolox_loss import (convert_to_training_format,
                                            make_anchor_geometry, yolox_loss)
