@@ -87,14 +87,32 @@ def init_layer(key, cin: int, cout: int, kernel_size: int) -> tuple:
 
 
 def apply_layer(params: LayerParams, state: LayerState, g: Graph,
-                attr: jnp.ndarray, *, kernel_size: int, aggr: str,
-                activation, training: bool):
-    """reference conv.py:59-72: block1 -> block2 with linear skip."""
+                attr: jnp.ndarray = None, *, kernel_size: int, aggr: str,
+                activation, training: bool, cart_max: float = None,
+                return_pos_nbr: bool = False):
+    """reference conv.py:59-72: block1 -> block2 with linear skip.
+
+    With ``attr=None`` + ``cart_max``, the layer gathers ONE combined row
+    per edge (source xy + features) and derives the Cartesian attrs from it
+    — TPU gathers cost a full memory tile per index, so folding the
+    position gather into the feature gather halves the per-edge traffic;
+    the gathered positions are returned for the downstream pooling when
+    ``return_pos_nbr`` is set."""
     x_in = g.x
+    pos_nbr = None
+    x_j1 = None
+    if attr is None:
+        src = jnp.concatenate([g.pos[:, :2], x_in], axis=1)
+        rows = src[g.nbr]                       # one combined gather
+        pos_nbr = rows[..., :2]
+        x_j1 = rows[..., 2:]
+        a = (g.pos[:, None, :2] - pos_nbr) / (2.0 * cart_max) + 0.5
+        a = jnp.clip(a, 0.0, 1.0)
+        attr = jnp.where(g.nbr_mask[..., None], a, 0.5)
     # ConvBlock 1: conv -> bn -> act
     h = spline_conv(x_in, g.nbr, g.nbr_mask, attr, params.block1.conv,
                     kernel_size=kernel_size, aggr=aggr,
-                    node_mask=g.node_mask)
+                    node_mask=g.node_mask, x_j=x_j1)
     h, bn1 = batch_norm(h, g.node_mask, params.block1.bn, state.block1.bn,
                         training=training)
     h = activation(h)
@@ -111,6 +129,8 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     out = activation(h2 + skip)
     out = jnp.where(g.node_mask[:, None], out, 0.0)
     new_state = LayerState(ConvBlockState(bn1), ConvBlockState(bn2), bns)
+    if return_pos_nbr:
+        return g._replace(x=out), new_state, pos_nbr
     return g._replace(x=out), new_state
 
 
@@ -209,6 +229,7 @@ def backbone_forward(params: BackboneParams,
         return g._replace(x=jnp.concatenate([g.x, rel], axis=1))
 
     outs = []
+    pos_nbr = None   # gathered source positions of the previous layer
     for level in range(start_level, 5):
         if level > 0:
             # next level's CNN features are appended at the *previous* level's
@@ -220,17 +241,18 @@ def backbone_forward(params: BackboneParams,
                 g.x, g.pos, g.nbr, g.nbr_mask, g.node_mask, g.batch,
                 grid=bc.grids[level - 1], batch_size=bc.batch_size,
                 width=bc.width, height=bc.height, aggr=aggr,
-                span=2, keep_temporal_ordering=bc.keep_temporal_ordering)
+                span=2, keep_temporal_ordering=bc.keep_temporal_ordering,
+                pos_src=pos_nbr)
             g = Graph(pooled.x, pooled.pos, pooled.nbr, pooled.nbr_mask,
                       pooled.node_mask, pooled.batch)
         else:
             g = cat_image(g, 0)
         g = cat_rel(g)
-        attr = cartesian_attr(g.pos, g.nbr, g.nbr_mask, bc.cart_max[level],
-                              clamp=True)
-        g, ls = apply_layer(params.layers[level], state.layers[level], g,
-                            attr, kernel_size=bc.kernel_size, aggr=bc.aggr,
-                            activation=act, training=training)
+        g, ls, pos_nbr = apply_layer(
+            params.layers[level], state.layers[level], g,
+            cart_max=bc.cart_max[level], kernel_size=bc.kernel_size,
+            aggr=bc.aggr, activation=act, training=training,
+            return_pos_nbr=True)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)

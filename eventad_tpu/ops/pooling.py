@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -49,12 +50,16 @@ def pool_graph(x: jnp.ndarray,
                height: int,
                aggr: str = "max",
                span: int = 2,
-               keep_temporal_ordering: bool = False) -> PooledGraph:
+               keep_temporal_ordering: bool = False,
+               pos_src: jnp.ndarray = None) -> PooledGraph:
     """Args:
       x ``[N, C]``, pos ``[N, 3]`` normalized, nbr/nbr_mask ``[N, K]``,
       node_mask ``[N]``, batch ``[N]`` int32 item ids.
       grid: (nx, ny) cells of this level.
       span: max |cell offset| an edge can reach (asserted by tests).
+      pos_src: optional pre-gathered neighbour positions ``[N, K, 2]``
+        (normalized) — avoids re-gathering ``cell[nbr]`` (TPU gathers cost
+        a full tile per index; the conv already gathered these rows).
 
     Returns a :class:`PooledGraph` over ``M = batch_size * nx * ny`` cells.
     """
@@ -100,22 +105,40 @@ def pool_graph(x: jnp.ndarray,
     active = pcnt[:m_total] > 0
 
     # ---- pooled adjacency bitmap ----
-    src_cell = cell_safe[nbr]                                  # [N, K]
-    dst_cell = cell_safe[:, None]
-    e_ok = nbr_mask & node_mask[:, None] & (src_cell < m_total) \
-        & (dst_cell < m_total)
-    rel_x = (src_cell % nx) - (dst_cell % nx)
-    rel_y = (src_cell // nx) % ny - (dst_cell // nx) % ny
-    same_b = (src_cell // ncells) == (dst_cell // ncells)
+    if pos_src is not None:
+        # derive source cells from pre-gathered positions (same floor/clip)
+        ps = jnp.clip(pos_src, 0.0, 0.9999999)
+        sx = jnp.floor(ps[..., 0] * nx).astype(jnp.int32)
+        sy = jnp.floor(ps[..., 1] * ny).astype(jnp.int32)
+        rel_x = sx - ix[:, None]
+        rel_y = sy - iy[:, None]
+        e_ok = nbr_mask & node_mask[:, None]
+        not_self = (rel_x != 0) | (rel_y != 0)
+    else:
+        src_cell = cell_safe[nbr]                              # [N, K]
+        dst_cell = cell_safe[:, None]
+        e_ok = nbr_mask & node_mask[:, None] & (src_cell < m_total) \
+            & (dst_cell < m_total)
+        rel_x = (src_cell % nx) - (dst_cell % nx)
+        rel_y = (src_cell // nx) % ny - (dst_cell // nx) % ny
+        same_b = (src_cell // ncells) == (dst_cell // ncells)
+        e_ok = e_ok & same_b
+        not_self = src_cell != dst_cell                        # pooling.py:62
     in_span = (jnp.abs(rel_x) <= span) & (jnp.abs(rel_y) <= span)
-    not_self = src_cell != dst_cell                            # pooling.py:62
-    e_ok = e_ok & same_b & in_span & not_self
+    e_ok = e_ok & in_span & not_self
     rel_idx = (rel_y + span) * side + (rel_x + span)
     rel_idx = jnp.clip(rel_idx, 0, side * side - 1)
-    flat_idx = jnp.where(e_ok, dst_cell * (side * side) + rel_idx, 0)
-    exist = jnp.zeros((m_total * side * side,), dtype=bool) \
-        .at[flat_idx.reshape(-1)].max(e_ok.reshape(-1)) \
-        .reshape(m_total, side * side)
+    # per-node one-hot rows, then ONE row-scatter per node (element-wise
+    # scatters cost a full tile per index on TPU)
+    node_counts = jnp.zeros((n, side * side), dtype=jnp.float32)
+    for k in range(nbr.shape[1]):
+        node_counts = node_counts + jnp.where(
+            e_ok[:, k:k + 1],
+            jax.nn.one_hot(rel_idx[:, k], side * side, dtype=jnp.float32),
+            0.0)
+    cell_counts = jnp.zeros((m_total + 1, side * side), jnp.float32) \
+        .at[cell_safe].add(node_counts)
+    exist = cell_counts[:m_total] > 0
 
     # neighbour indices decoded arithmetically from the bitmap slots
     cells = jnp.arange(m_total, dtype=jnp.int32)

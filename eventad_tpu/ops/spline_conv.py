@@ -75,7 +75,8 @@ def spline_conv(x: jnp.ndarray,
                 kernel_size: int,
                 aggr: str = "sum",
                 node_mask: Optional[jnp.ndarray] = None,
-                x_dst: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                x_dst: Optional[jnp.ndarray] = None,
+                x_j: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Args:
       x: ``[N, Cin]`` node features.
       nbr: ``[N, K]`` int32 source index per (destination, slot).
@@ -86,6 +87,10 @@ def spline_conv(x: jnp.ndarray,
       x_dst: optional ``[N_dst, Cin]`` destination features when the
         destination rows are a subset of the gather source ``x`` (the
         incremental streaming path); ``nbr`` then has ``N_dst`` rows.
+      x_j: optional pre-gathered neighbour features ``[N_dst, K, Cin]`` —
+        TPU gathers cost a full memory tile per index, so callers that
+        already gathered a combined row (positions + features) pass the
+        slice here instead of triggering a second gather.
 
     Returns ``[N_dst, Cout]`` (``N_dst = nbr.shape[0]``).
     """
@@ -103,7 +108,8 @@ def spline_conv(x: jnp.ndarray,
     for s in range(4):
         coeff = coeff + jax.nn.one_hot(idx[..., s], m, dtype=x.dtype) \
             * w[..., s][..., None]
-    x_j = x[nbr]                                       # [N, K, Cin]
+    if x_j is None:
+        x_j = x[nbr]                                   # [N, K, Cin]
     z = jnp.einsum("nkm,nkc->nmc", coeff, x_j)         # [N, M, Cin]
     out = z.reshape(n, m * cin) @ params.weight.reshape(m * cin, -1)
     if params.root is not None:
