@@ -54,15 +54,23 @@ def sample_image_features(feat: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def tap(yy, xx):
-        ok = (xx >= 0) & (xx < wp) & (yy >= 0) & (yy < hp)
-        v = feat[batch, jnp.clip(yy, 0, hp - 1), jnp.clip(xx, 0, wp - 1)]
-        return jnp.where(ok[:, None], v, 0.0)
+    # pair the two horizontal taps channel-wise so bilinear sampling costs 2
+    # row gathers instead of 4 (TPU gathers fetch a full tile per index)
+    feat_r = jnp.concatenate([feat[:, :, 1:], feat[:, :, -1:]], axis=2)
+    pair = jnp.concatenate([feat, feat_r], axis=3)   # [B, H, W, 2C]
 
-    v00 = tap(y0i, x0i)
-    v01 = tap(y0i, x0i + 1)
-    v10 = tap(y0i + 1, x0i)
-    v11 = tap(y0i + 1, x0i + 1)
+    def tap_pair(yy):
+        ok_y = (yy >= 0) & (yy < hp)
+        v = pair[batch, jnp.clip(yy, 0, hp - 1),
+                 jnp.clip(x0i, 0, wp - 1)]           # [N, 2C]
+        v0, v1 = v[:, :c], v[:, c:]
+        okx0 = (x0i >= 0) & (x0i < wp) & ok_y
+        okx1 = (x0i + 1 >= 0) & (x0i + 1 < wp) & ok_y
+        return (jnp.where(okx0[:, None], v0, 0.0),
+                jnp.where(okx1[:, None], v1, 0.0))
+
+    v00, v01 = tap_pair(y0i)
+    v10, v11 = tap_pair(y0i + 1)
     out = ((1 - ty) * ((1 - tx) * v00 + tx * v01)
            + ty * ((1 - tx) * v10 + tx * v11))
     return jnp.where(node_mask[:, None], out, 0.0)

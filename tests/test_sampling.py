@@ -1,0 +1,53 @@
+"""Image-feature sampling vs naive bilinear (grid_sample align_corners)."""
+import numpy as np
+import jax.numpy as jnp
+
+from eventad_tpu.models.graph import sample_image_features
+
+
+def naive(feat, pos, batch, w_full, h_full):
+    b, hp, wp, c = feat.shape
+    out = np.zeros((len(pos), c), np.float32)
+    for i, (px, py) in enumerate(pos[:, :2]):
+        fx = px * w_full * (wp - 1) / (w_full - 1)
+        fy = py * h_full * (hp - 1) / (h_full - 1)
+        x0, y0 = int(np.floor(fx)), int(np.floor(fy))
+        tx, ty = fx - x0, fy - y0
+        acc = np.zeros(c)
+        for dy, wy in ((0, 1 - ty), (1, ty)):
+            for dx, wx in ((0, 1 - tx), (1, tx)):
+                xx, yy = x0 + dx, y0 + dy
+                if 0 <= xx < wp and 0 <= yy < hp:
+                    acc += wy * wx * feat[batch[i], yy, xx]
+        out[i] = acc
+    return out
+
+
+def test_sampling_matches_naive(rng):
+    b, hp, wp, c = 2, 12, 18, 5
+    w_full, h_full = 36, 24
+    feat = rng.randn(b, hp, wp, c).astype(np.float32)
+    n = 200
+    pos = rng.rand(n, 3).astype(np.float32)
+    batch = rng.randint(0, b, n).astype(np.int32)
+    mask = np.ones(n, bool)
+    got = np.asarray(sample_image_features(
+        jnp.asarray(feat), jnp.asarray(pos), jnp.asarray(batch),
+        jnp.asarray(mask), w_full, h_full))
+    exp = naive(feat, pos, batch, w_full, h_full)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_sampling_edge_positions(rng):
+    """positions at the exact right/bottom borders (last column/row taps)."""
+    b, hp, wp, c = 1, 6, 8, 3
+    feat = rng.randn(b, hp, wp, c).astype(np.float32)
+    pos = np.array([[1.0, 1.0, 0], [0.0, 0.0, 0], [0.999, 0.5, 0]],
+                   np.float32)
+    batch = np.zeros(3, np.int32)
+    mask = np.ones(3, bool)
+    got = np.asarray(sample_image_features(
+        jnp.asarray(feat), jnp.asarray(pos), jnp.asarray(batch),
+        jnp.asarray(mask), 16, 12))
+    exp = naive(feat, pos, batch, 16, 12)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
