@@ -56,11 +56,14 @@ def main():
         sync(fwd(params, state, batch))
 
     # reference protocol: per-batch synchronization (utils/fps.py:62-72
-    # brackets every batch with cuda.synchronize)
-    t0 = time.perf_counter()
+    # brackets every batch with cuda.synchronize); median per-call time
+    # dampens host-tunnel latency spikes
+    ts = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         sync(fwd(params, state, batch))
-    dt = time.perf_counter() - t0
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts)) * iters
 
     # pipelined protocol: enqueue all batches, one final sync — how a
     # production serving loop runs; excludes per-call host round-trips.
