@@ -95,6 +95,7 @@ class Config:
     # the testing transform (utils/data.py:27-30); override to use "train"
     train_split: str = "test"
     use_augmentations: bool = False
+    check_balance: bool = False
 
     # ---- augmentation ----
     aug_p_flip: float = EVENTAD_DEFAULTS["aug_p_flip"]

@@ -217,3 +217,23 @@ class SequenceDataset:
                                            self.min_bbox_diag)
                 setattr(item, attr, b[keep])
         return item
+
+
+def check_dataset_balance(loaders) -> dict:
+    """Class-balance report over loaders (reference utils/data.py:67-96:
+    counts normal/anomaly boxes and their ratio; invocation commented out at
+    reference train.py:66)."""
+    import numpy as np
+    out = {}
+    for name, loader in loaders.items():
+        normal = anomaly = 0
+        for batch, _meta in loader:
+            labels = batch.bbox[batch.bbox_mask][:, 4]
+            anomaly += int((labels > 0.5).sum())
+            normal += int((labels <= 0.5).sum())
+        total = max(normal + anomaly, 1)
+        out[name] = dict(normal=normal, anomaly=anomaly,
+                         anomaly_ratio=anomaly / total)
+        print(f"{name}: normal {normal}, anomaly {anomaly} "
+              f"({anomaly / total:.1%})")
+    return out

@@ -69,6 +69,10 @@ def main(argv=None):
     train_loader = Loader(train_ds, cfg, shuffle=True, seed=cfg.seed)
     val_loader = Loader(val_ds, cfg, shuffle=False)
     print(f"train items: {len(train_ds)}, val items: {len(val_ds)}")
+    # dataset balance report (reference utils/data.py:67-96, train.py:66)
+    if getattr(cfg, "check_balance", False):
+        from eventad_tpu.data.dataset import check_dataset_balance
+        check_dataset_balance({"train": train_loader, "val": val_loader})
 
     key = jax.random.PRNGKey(cfg.seed)
     params, state, bc, mc = init_model(key, cfg)
