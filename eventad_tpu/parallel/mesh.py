@@ -22,7 +22,16 @@ def make_mesh(spec: str = "1", devices: Optional[Sequence] = None) -> Mesh:
     else:
         d, m = int(spec), 1
     n = d * m
-    assert n <= len(devices), f"mesh {spec} needs {n} devices"
+    if n > len(devices):
+        # Degrade gracefully: fewer devices than the spec asks for means a
+        # pure-DP mesh over what is available (params are replicated, so a
+        # smaller mesh is always valid — just less parallel).
+        import warnings
+        warnings.warn(f"mesh {spec} needs {n} devices but only "
+                      f"{len(devices)} available; degrading to "
+                      f"{len(devices)}x1 data-parallel mesh")
+        d, m = len(devices), 1
+        n = d * m
     arr = np.array(devices[:n]).reshape(d, m)
     return Mesh(arr, ("data", "model"))
 

@@ -1,15 +1,26 @@
 """Inference throughput measurement (reference utils/fps.py:6-96).
 
 The reference brackets each batch with ``torch.cuda.synchronize``; the JAX
-equivalent is ``jax.block_until_ready`` on the outputs. FPS counts
-``len(bbox) + len(bbox0)`` object instances per second (utils/fps.py:58) —
-preserved, it is the unit of the committed baseline number (595.48)."""
+equivalent would be ``jax.block_until_ready``, but through the axon TPU
+tunnel that returns early (CLAUDE.md) — the only reliable full sync is a
+small device->host fetch, so every timed batch is bracketed with one (same
+idiom as bench.py). FPS counts ``len(bbox) + len(bbox0)`` object instances
+per second (utils/fps.py:58) — preserved, it is the unit of the committed
+baseline number (595.48)."""
 from __future__ import annotations
 
 import time
 from typing import Callable
 
-import jax
+import numpy as np
+
+
+def _sync(out):
+    """True device sync: fetch one element of one output to the host."""
+    leaf = out
+    while isinstance(leaf, (tuple, list)):
+        leaf = leaf[0]
+    np.asarray(leaf).ravel()[:1]
 
 
 def measure_fps(forward_fn: Callable, loader, *, warmup_batches: int = 5,
@@ -20,14 +31,14 @@ def measure_fps(forward_fn: Callable, loader, *, warmup_batches: int = 5,
         if not batch.bbox_mask.any():
             continue
         if i < warmup_batches:
-            jax.block_until_ready(forward_fn(batch))
+            _sync(forward_fn(batch))
             continue
         if len(batch_times) >= num_batches:
             break
         n_boxes = int(batch.bbox_mask.sum()) + int(batch.bbox0_mask.sum())
         batch_sizes.append(n_boxes)
         t0 = time.perf_counter()
-        jax.block_until_ready(forward_fn(batch))
+        _sync(forward_fn(batch))
         batch_times.append(time.perf_counter() - t0)
 
     total_time = sum(batch_times)
