@@ -93,10 +93,20 @@ class SequenceDataset:
         self.remap = compute_class_mapping(classes, all_classes,
                                            mapping or DEFAULT_MAPPING)
 
-        split_cfg = None
-        if cfg.split and Path(cfg.split).exists():
+        # A dangling split file must be a hard error: silently degrading to
+        # "every subdirectory" (the round-1 behavior) would evaluate on
+        # train sequences without warning. split="" explicitly opts into
+        # the all-directories mode.
+        if cfg.split:
+            if not Path(cfg.split).exists():
+                raise FileNotFoundError(
+                    f"split file {cfg.split!r} does not exist; pass "
+                    f"--split '' to use every subdirectory of {root}")
             split_cfg = load_split(cfg.split)
-        if split_cfg is not None and split in split_cfg:
+            if split not in split_cfg:
+                raise KeyError(
+                    f"split {split!r} not in {cfg.split!r} "
+                    f"(has: {sorted(split_cfg)})")
             names = list(split_cfg[split])
             self.dirs = [SequenceDir(root / n) for n in names
                          if (root / n).exists()]

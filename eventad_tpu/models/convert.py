@@ -184,3 +184,180 @@ def convert_backbone(sd: Dict[str, np.ndarray], prefix="backbone."):
         lps.append(LayerParams(b1, lin_w, lin_b, b2, skip_bn))
         lss.append(LayerState(s1, s2, skip_bn_s))
     return BackboneParams(tuple(lps)), BackboneState(tuple(lss))
+
+
+# ---------------------------------------------------------------------------
+# CNN branch (HookModule: resnet + 1x1 remap convs) and full-model assembly
+# ---------------------------------------------------------------------------
+def convert_cnn_branch(sd: Dict[str, np.ndarray], arch: str = "resnet50",
+                       prefix: str = "backbone.net."):
+    """HookModule weights (reference net_img.py:42-90: ``module`` resnet +
+    ``feature_dconv``/``output_dconv`` 1x1 ModuleLists) -> the nested dicts
+    of :func:`eventad_tpu.models.resnet.init_cnn_branch`."""
+    import jax.numpy as jnp
+    rp, rs = convert_resnet(sd, arch, prefix=prefix + "module.")
+
+    def dconvs(name):
+        out, i = [], 0
+        while f"{prefix}{name}.{i}.weight" in sd:
+            out.append({
+                "w": jnp.asarray(_conv_hwio(sd[f"{prefix}{name}.{i}.weight"])),
+                "b": jnp.asarray(sd[f"{prefix}{name}.{i}.bias"])})
+            i += 1
+        return out
+
+    return ({"resnet": rp, "feature_dconv": dconvs("feature_dconv"),
+             "output_dconv": dconvs("output_dconv")}, rs)
+
+
+def convert_full_model(cfg, dagr_path: str, eventad_path: str = None):
+    """Assemble ModelParams/ModelState from the reference's torch
+    checkpoints: ``dagr_s_50.pth`` (loaded from its ['ema'] entry like
+    reference utils/model.py:31-32) and optionally ``best_rol.pth`` (the
+    trained EventAD head, reference utils/model.py:80-90). Missing
+    ``eventad_path`` leaves the head randomly initialised (parity on the
+    frozen feature path only)."""
+    import jax
+    from .dagr import DAGRParams, DAGRState, ModelParams, ModelState, \
+        init_model
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+
+    sd = load_torch_state_dict(dagr_path)
+    bp, bs = convert_backbone(sd, prefix="backbone.")
+    cp, cs = (None, None)
+    if cfg.use_image:
+        cp, cs = convert_cnn_branch(sd, cfg.img_net, prefix="backbone.net.")
+
+    hp = params.head
+    if eventad_path:
+        hsd = load_torch_state_dict(eventad_path)
+        hsd = {k.removeprefix("module."): v for k, v in hsd.items()
+               if not k.startswith(("dagr_model.", "module.dagr_model."))}
+        hp = convert_eventad_head(hsd)
+
+    return (ModelParams(DAGRParams(bp, cp), hp),
+            ModelState(DAGRState(bs, cs)), bc, mc)
+
+
+# ---------------------------------------------------------------------------
+# Inverse export: JAX params -> reference-format torch checkpoints.
+# Used by parity.py's fixture mode so the converted-checkpoint path is
+# exercised end-to-end (round trip: export -> convert == identity) even
+# before the real dagr_s_50.pth / best_rol.pth are available.
+# ---------------------------------------------------------------------------
+def _export_bn(out, prefix, bp, bs):
+    out[f"{prefix}.module.weight"] = np.asarray(bp.scale)
+    out[f"{prefix}.module.bias"] = np.asarray(bp.offset)
+    out[f"{prefix}.module.running_mean"] = np.asarray(bs.mean)
+    out[f"{prefix}.module.running_var"] = np.asarray(bs.var)
+
+
+def export_backbone(bp, bs, prefix="backbone.") -> Dict[str, np.ndarray]:
+    names = ["conv_block1", "layer2", "layer3", "layer4", "layer5"]
+    out: Dict[str, np.ndarray] = {}
+    for nm, lp, ls in zip(names, bp.layers, bs.layers):
+        base = f"{prefix}{nm}"
+        out[f"{base}.conv_block1.conv.weight"] = np.asarray(
+            lp.block1.conv.weight)
+        if lp.block1.conv.root is not None:
+            out[f"{base}.conv_block1.conv.lin.weight"] = _t(
+                lp.block1.conv.root)
+        _export_bn(out, f"{base}.conv_block1.norm", lp.block1.bn,
+                   ls.block1.bn)
+        out[f"{base}.conv_block2.conv.weight"] = np.asarray(
+            lp.block2.conv.weight)
+        if lp.block2.conv.root is not None:
+            out[f"{base}.conv_block2.conv.lin.weight"] = _t(
+                lp.block2.conv.root)
+        _export_bn(out, f"{base}.conv_block2.norm", lp.block2.bn,
+                   ls.block2.bn)
+        out[f"{base}.conv_block2.lin.mlp.weight"] = _t(lp.skip_lin)
+        out[f"{base}.conv_block2.lin.mlp.bias"] = np.asarray(lp.skip_lin_bias)
+        _export_bn(out, f"{base}.conv_block2.norm_skip", lp.skip_bn,
+                   ls.skip_bn)
+    return out
+
+
+def export_resnet(rp, rs, prefix="") -> Dict[str, np.ndarray]:
+    def oihw(a):
+        return np.asarray(a).transpose(3, 2, 0, 1)
+
+    out = {prefix + "conv1.weight": oihw(rp["conv1"])}
+
+    def bn(key, p, s):
+        out[f"{prefix}{key}.weight"] = np.asarray(p["scale"])
+        out[f"{prefix}{key}.bias"] = np.asarray(p["offset"])
+        out[f"{prefix}{key}.running_mean"] = np.asarray(s["mean"])
+        out[f"{prefix}{key}.running_var"] = np.asarray(s["var"])
+
+    bn("bn1", rp["bn1"], rs["bn1"])
+    for li in range(1, 5):
+        for bi, (bpb, bsb) in enumerate(zip(rp[f"layer{li}"],
+                                            rs[f"layer{li}"])):
+            base = f"layer{li}.{bi}"
+            for ci in (1, 2, 3):
+                if f"c{ci}" not in bpb:
+                    continue
+                out[f"{prefix}{base}.conv{ci}.weight"] = oihw(bpb[f"c{ci}"])
+                bn(f"{base}.bn{ci}", bpb[f"b{ci}"], bsb[f"b{ci}"])
+            if "down" in bpb:
+                out[f"{prefix}{base}.downsample.0.weight"] = oihw(
+                    bpb["down"])
+                bn(f"{base}.downsample.1", bpb["down_bn"], bsb["down_bn"])
+    return out
+
+
+def export_cnn_branch(cp, cs, prefix="backbone.net.") -> Dict[str, np.ndarray]:
+    def oihw(a):
+        return np.asarray(a).transpose(3, 2, 0, 1)
+
+    out = export_resnet(cp["resnet"], cs, prefix=prefix + "module.")
+    for name in ("feature_dconv", "output_dconv"):
+        for i, d in enumerate(cp[name]):
+            out[f"{prefix}{name}.{i}.weight"] = oihw(d["w"])
+            out[f"{prefix}{name}.{i}.bias"] = np.asarray(d["b"])
+    return out
+
+
+def export_gru(gp, prefix) -> Dict[str, np.ndarray]:
+    out = {}
+    for i, l in enumerate(gp.layers):
+        out[f"{prefix}.weight_ih_l{i}"] = _t(l.w_ih)
+        out[f"{prefix}.weight_hh_l{i}"] = _t(l.w_hh)
+        out[f"{prefix}.bias_ih_l{i}"] = np.asarray(l.b_ih)
+        out[f"{prefix}.bias_hh_l{i}"] = np.asarray(l.b_hh)
+    return out
+
+
+def export_eventad_head(hp) -> Dict[str, np.ndarray]:
+    f = hp.fusion
+    out = {
+        "fusion_module.event_proj.weight": _t(f.event_proj_w),
+        "fusion_module.event_proj.bias": np.asarray(f.event_proj_b),
+        "fusion_module.coord_proj.weight": _t(f.coord_proj_w),
+        "fusion_module.coord_proj.bias": np.asarray(f.coord_proj_b),
+        "fusion_module.fusion.0.weight": _t(f.fuse1_w),
+        "fusion_module.fusion.0.bias": np.asarray(f.fuse1_b),
+        "fusion_module.fusion.3.weight": _t(f.fuse2_w),
+        "fusion_module.fusion.3.bias": np.asarray(f.fuse2_b),
+        "soft_attention.weight": np.asarray(hp.att_event_w),
+        "soft_attention_cor.weight": np.asarray(hp.att_coord_w),
+    }
+    out.update(export_gru(hp.gru_event, "gru_net_event.gru"))
+    out.update(export_gru(hp.gru_coord, "gru_net_cor.gru"))
+    return out
+
+
+def export_torch_checkpoints(params, state, cfg, dagr_path: str,
+                             eventad_path: str):
+    """Write reference-format .pth files (dagr under ['ema'], EventAD head
+    flat) from a ModelParams/ModelState pytree."""
+    import torch
+    sd = export_backbone(params.dagr.backbone, state.dagr.backbone)
+    if cfg.use_image and params.dagr.cnn is not None:
+        sd.update(export_cnn_branch(params.dagr.cnn, state.dagr.cnn))
+    to_t = lambda d: {k: torch.from_numpy(np.ascontiguousarray(v))
+                      for k, v in d.items()}
+    torch.save({"ema": to_t(sd)}, dagr_path)
+    torch.save({"model": to_t(export_eventad_head(params.head))},
+               eventad_path)

@@ -90,3 +90,27 @@ def test_resnet_conversion_matches_torch(rng):
         a = np.asarray(taps_j[k]).transpose(0, 3, 1, 2)
         b = taps_t[k].numpy()
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_full_model_export_convert_roundtrip(tmp_path):
+    """export_torch_checkpoints -> convert_full_model must be the identity
+    on every parameter and BN statistic (the parity.py fixture path)."""
+    from eventad_tpu.config import Config
+    from eventad_tpu.models.convert import (convert_full_model,
+                                            export_torch_checkpoints)
+    from eventad_tpu.models.dagr import init_model
+
+    cfg = Config(batch_size=1, width=48, height=36, scale=1, use_image=True,
+                 event_buckets=(256,), graph_lookback=64)
+    params, state, _, _ = init_model(jax.random.PRNGKey(3), cfg)
+    dagr_pth = str(tmp_path / "dagr.pth")
+    head_pth = str(tmp_path / "head.pth")
+    export_torch_checkpoints(params, state, cfg, dagr_pth, head_pth)
+
+    params2, state2, _, _ = convert_full_model(cfg, dagr_pth, head_pth)
+
+    flat1, _ = jax.tree_util.tree_flatten((params, state))
+    flat2, _ = jax.tree_util.tree_flatten((params2, state2))
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
