@@ -101,6 +101,9 @@ class Config:
     aug_p_flip: float = EVENTAD_DEFAULTS["aug_p_flip"]
     aug_trans: float = EVENTAD_DEFAULTS["aug_trans"]
     aug_zoom: float = EVENTAD_DEFAULTS["aug_zoom"]
+    # lower zoom bound; < 1 enables zoom-out with the density-preserving
+    # event subsample (reference augment.py:139-189 with zoom < 1)
+    aug_zoom_min: float = 1.0
 
     # ---- test ----
     test_checkpoint: str = ""

@@ -58,6 +58,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 i32p, i32p, i32p, i8p, _i64, _i64, i32p, i32p, i32p, i8p]
             lib.queue_ranks.restype = None
             lib.queue_ranks.argtypes = [i32p, i32p, _i64, _i32, _i32, i32p]
+            lib.zoom_subsample.restype = _i64
+            lib.zoom_subsample.argtypes = [
+                i32p, i32p, i8p, _i64, _i32, _i32, ctypes.c_float, u8p]
             _LIB = lib
     return _LIB
 
@@ -114,6 +117,36 @@ def window_rebase(events: dict, t0: int, t1: int, time_window: int,
                 y=y[sel][keep].astype(np.int32),
                 t=tt.astype(np.int32),
                 p=(2 * p[sel][keep].astype(np.int32) - 1).astype(np.int8))
+
+
+def zoom_subsample_mask(x: np.ndarray, y: np.ndarray, p: np.ndarray,
+                        width: int, height: int,
+                        threshold: float) -> np.ndarray:
+    """Keep-mask of the reference's density-preserving zoom-out subsample
+    (augment.py:13-37 on integer positions): per-pixel signed polarity
+    counter over a (height+1, width+1) grid, emit on +-threshold crossing."""
+    x = np.ascontiguousarray(x, np.int32)
+    y = np.ascontiguousarray(y, np.int32)
+    p = np.ascontiguousarray(p, np.int8).reshape(-1)
+    n = len(x)
+    keep = np.zeros(n, np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        lib.zoom_subsample(x, y, p, n, width, height,
+                           float(threshold), keep)
+        return keep.astype(bool)
+    # sequential python fallback (the oracle the C++ path is tested against)
+    count = np.zeros((height + 1, width + 1), np.float32)
+    for i in range(n):
+        xi, yi = int(x[i]), int(y[i])
+        if xi < 0 or xi > width or yi < 0 or yi > height:
+            continue
+        count[yi, xi] += float(p[i])
+        pol = 1.0 if count[yi, xi] > 0 else -1.0
+        if pol * count[yi, xi] > threshold:
+            count[yi, xi] -= pol * threshold
+            keep[i] = 1
+    return keep.astype(bool)
 
 
 def subsample_balanced(events: dict, target: int) -> dict:

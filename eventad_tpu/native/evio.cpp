@@ -139,4 +139,34 @@ void queue_ranks(
     delete[] cnt;
 }
 
+// Density-preserving zoom-out subsample: the reference's numba accumulator
+// (src/dagr/data/augment.py:13-37) called on integer positions — which
+// reduces to a per-pixel signed counter that emits an event when it crosses
+// +-threshold (threshold = 1/zoom^2) and is then decremented by it. The
+// count grid is (height+1)*(width+1) like the reference's. keep[i] is set
+// when event i fires; events must be fed in stream order.
+int64_t zoom_subsample(
+    const int32_t* x, const int32_t* y, const int8_t* p, int64_t n,
+    int32_t width, int32_t height, float threshold, uint8_t* keep)
+{
+    int64_t cells = (int64_t)(width + 1) * (height + 1);
+    float* count = new float[cells]();
+    int64_t kept = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        keep[i] = 0;
+        int32_t xi = x[i], yi = y[i];
+        if (xi < 0 || xi > width || yi < 0 || yi > height) continue;
+        int64_t c = (int64_t)yi * (width + 1) + xi;
+        count[c] += (float)p[i];
+        float pol = count[c] > 0.f ? 1.f : -1.f;
+        if (pol * count[c] > threshold) {
+            count[c] -= pol * threshold;
+            keep[i] = 1;
+            ++kept;
+        }
+    }
+    delete[] count;
+    return kept;
+}
+
 }  // extern "C"
