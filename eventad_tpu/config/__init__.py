@@ -104,6 +104,9 @@ class Config:
     # lower zoom bound; < 1 enables zoom-out with the density-preserving
     # event subsample (reference augment.py:139-189 with zoom < 1)
     aug_zoom_min: float = 1.0
+    # detector training: final epochs with augmentation off + L1 loss on
+    # (the vendored YOLOX no-aug phase; reference dagr.py:192-193 use_l1)
+    no_aug_epochs: int = 0
 
     # ---- test ----
     test_checkpoint: str = ""

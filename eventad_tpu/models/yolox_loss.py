@@ -60,8 +60,15 @@ def yolox_loss(outputs: jnp.ndarray,       # [B, A, 5+C] decoded (px, logits)
                geom: AnchorGeometry,
                num_classes: int = 2,
                center_radius: float = 2.5,
-               topk_candidates: int = 10):
-    """Returns dict(total, iou, obj, cls, num_fg)."""
+               topk_candidates: int = 10,
+               l1_weight: jnp.ndarray | float = 0.0):
+    """Returns dict(total, iou, obj, cls, l1, num_fg).
+
+    ``l1_weight`` gates YOLOX's L1 regression branch (vendored head's
+    ``use_l1``, enabled for the aug-off final epochs; reference
+    dagr.py:192-193). The raw-output L1 is computed from the decoded boxes —
+    decode is invertible, so |raw - l1_target| = |d_center|/stride and
+    |log(w_pred/w_gt)| exactly."""
 
     def per_image(out, tgt, tmask):
         boxes = out[:, :4]                    # cx, cy, w, h px
@@ -129,18 +136,28 @@ def yolox_loss(outputs: jnp.ndarray,       # [B, A, 5+C] decoded (px, logits)
         cls_t = cls_onehot[m_gt] * jnp.where(m_any[:, None], 1.0, 0.0)
         cls_l = jnp.where(m_any[:, None],
                           _bce(cls_logit, cls_t), 0.0).sum()
-        return iou_l, obj_l, cls_l, num_fg
+        # raw-space L1 on matched anchors (YOLOX get_l1_target semantics)
+        mb = gt_box[m_gt]
+        l1 = (jnp.abs(boxes[:, 0] - mb[:, 0]) / geom.strides
+              + jnp.abs(boxes[:, 1] - mb[:, 1]) / geom.strides
+              + jnp.abs(jnp.log(jnp.maximum(boxes[:, 2], 1e-9)
+                                / jnp.maximum(mb[:, 2], 1e-9)))
+              + jnp.abs(jnp.log(jnp.maximum(boxes[:, 3], 1e-9)
+                                / jnp.maximum(mb[:, 3], 1e-9))))
+        l1_l = jnp.where(m_any, l1, 0.0).sum()
+        return iou_l, obj_l, cls_l, l1_l, num_fg
 
-    iou_l, obj_l, cls_l, num_fg = jax.vmap(per_image)(outputs, targets,
-                                                      target_mask)
+    iou_l, obj_l, cls_l, l1_l, num_fg = jax.vmap(per_image)(
+        outputs, targets, target_mask)
     nfg = jnp.maximum(num_fg.sum(), 1.0)
     iou_total = 5.0 * iou_l.sum() / nfg
     obj_total = obj_l.sum() / nfg
     cls_total = cls_l.sum() / nfg
+    l1_total = l1_weight * l1_l.sum() / nfg
     return {
-        "total": iou_total + obj_total + cls_total,
+        "total": iou_total + obj_total + cls_total + l1_total,
         "iou": iou_total, "obj": obj_total, "cls": cls_total,
-        "num_fg": num_fg.sum(),
+        "l1": l1_total, "num_fg": num_fg.sum(),
     }
 
 

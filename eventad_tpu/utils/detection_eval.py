@@ -114,3 +114,61 @@ class DetectionBuffer:
             "mAP": float(np.mean(valid)) if valid else float("nan"),
             "mAP_50": float(ap50) if ap50 == ap50 else float("nan"),
         }
+
+
+# ---------------------------------------------------------------------------
+# Prophesee-style time-windowed evaluation
+# (reference src/dagr/utils/coco_eval.py:65-145)
+# ---------------------------------------------------------------------------
+def match_times(all_ts: np.ndarray, gt_t: np.ndarray, dt_t: np.ndarray,
+                time_tol: int):
+    """Two-pointer windowing (reference coco_eval.py:110-145): for each
+    timestamp, GT boxes at exactly that time and detections within
+    ``+-time_tol`` of it. Both time arrays must be sorted ascending.
+    Returns parallel lists of (lo, hi) index ranges."""
+    gt_size, dt_size = len(gt_t), len(dt_t)
+    gt_win, dt_win = [], []
+    low_gt = high_gt = low_dt = high_dt = 0
+    for ts in all_ts:
+        while low_gt < gt_size and gt_t[low_gt] < ts:
+            low_gt += 1
+        high_gt = max(low_gt, high_gt)
+        while high_gt < gt_size and gt_t[high_gt] <= ts:
+            high_gt += 1
+        lo, hi = ts - time_tol, ts + time_tol
+        while low_dt < dt_size and dt_t[low_dt] < lo:
+            low_dt += 1
+        high_dt = max(low_dt, high_dt)
+        while high_dt < dt_size and dt_t[high_dt] <= hi:
+            high_dt += 1
+        gt_win.append((low_gt, high_gt))
+        dt_win.append((low_dt, high_dt))
+    return gt_win, dt_win
+
+
+def evaluate_detection_windowed(gt_list: List[dict], dt_list: List[dict],
+                                num_classes: int = 2,
+                                time_tol: int = 50_000,
+                                iou_thresholds=None) -> Dict[str, float]:
+    """Time-windowed mAP (reference evaluate_detection, coco_eval.py:65-95):
+    KPIs are computed only at timestamps that carry at least one GT box;
+    detections count only within ``time_tol`` microseconds of that
+    timestamp. Each ``gt_list``/``dt_list`` entry is one sequence:
+    dict('t' [N] sorted us, 'boxes' [N,4] xyxy, 'labels' [N]; detections
+    additionally 'scores' [N])."""
+    buf = DetectionBuffer(num_classes, iou_thresholds)
+    for gt, dt in zip(gt_list, dt_list):
+        gt_t = np.asarray(gt["t"])
+        dt_t = np.asarray(dt["t"])
+        assert np.all(gt_t[1:] >= gt_t[:-1]), "GT must be time-sorted"
+        assert np.all(dt_t[1:] >= dt_t[:-1]), "detections must be time-sorted"
+        all_ts = np.unique(gt_t)
+        gt_win, dt_win = match_times(all_ts, gt_t, dt_t, time_tol)
+        for (g0, g1), (d0, d1) in zip(gt_win, dt_win):
+            buf.update(
+                [{"boxes": np.asarray(dt["boxes"])[d0:d1],
+                  "scores": np.asarray(dt["scores"])[d0:d1],
+                  "labels": np.asarray(dt["labels"])[d0:d1]}],
+                [{"boxes": np.asarray(gt["boxes"])[g0:g1],
+                  "labels": np.asarray(gt["labels"])[g0:g1]}])
+    return buf.compute()

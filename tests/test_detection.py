@@ -94,3 +94,80 @@ def test_yolox_loss_grads_finite(rng):
         return yolox_loss(o, tgt, tmask, geom)["total"]
     g = jax.grad(loss_fn)(out)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_time_windowed_eval_rejects_late_detections():
+    """A detection at the right place but the wrong TIME must not count —
+    plain (timeless) mAP gets this wrong, the windowed eval gets it right
+    (reference coco_eval.py:110-145 semantics)."""
+    from eventad_tpu.utils.detection_eval import (DetectionBuffer,
+                                                  evaluate_detection_windowed)
+    box = np.array([[10.0, 10.0, 30.0, 30.0]])
+    lab = np.array([0])
+    sc = np.array([0.9])
+    gt = {"t": np.array([0]), "boxes": box, "labels": lab}
+    dt_late = {"t": np.array([1_000_000]), "boxes": box, "labels": lab,
+               "scores": sc}
+    dt_ontime = {"t": np.array([10_000]), "boxes": box, "labels": lab,
+                 "scores": sc}
+
+    # plain mAP (whole sequence as one image) scores the late det perfectly
+    buf = DetectionBuffer(num_classes=1)
+    buf.update([{"boxes": box, "scores": sc, "labels": lab}],
+               [{"boxes": box, "labels": lab}])
+    assert buf.compute()["mAP_50"] > 0.98
+
+    res_late = evaluate_detection_windowed([gt], [dt_late], num_classes=1,
+                                           time_tol=50_000)
+    res_ontime = evaluate_detection_windowed([gt], [dt_ontime],
+                                             num_classes=1, time_tol=50_000)
+    assert res_ontime["mAP_50"] > 0.98
+    assert not (res_late["mAP_50"] > 0)  # nan or 0: no dets in any window
+
+
+def test_time_windowed_eval_windows_are_per_timestamp():
+    from eventad_tpu.utils.detection_eval import match_times
+    gt_t = np.array([0, 0, 100_000, 200_000])
+    dt_t = np.array([-10_000, 40_000, 90_000, 210_000])
+    gt_win, dt_win = match_times(np.unique(gt_t), gt_t, dt_t, 50_000)
+    assert gt_win == [(0, 2), (2, 3), (3, 4)]
+    # ts=0: dets in [-50k, 50k] -> idx 0..1; ts=100k: [50k,150k] -> idx 2;
+    # ts=200k: [150k,250k] -> idx 3
+    assert dt_win == [(0, 2), (2, 3), (3, 4)]
+
+
+def test_yolox_l1_branch(rng):
+    """l1_weight gates an exact raw-space L1: zero for perfect boxes,
+    positive and gradient-finite for offset boxes."""
+    grids = [(4, 3)]
+    geom = make_anchor_geometry(grids, [16])
+    bbox = np.zeros((1, 2, 6), np.float32)
+    bbox[0, 0] = (8, 8, 16, 16, 1, 1)
+    mask = np.zeros((1, 2), bool)
+    mask[0, 0] = True
+    tgt, tmask = convert_to_training_format(jnp.asarray(bbox),
+                                            jnp.asarray(mask))
+
+    def outputs(dx):
+        o = np.zeros((1, 12, 7), np.float32)
+        o[..., :2] = np.asarray(geom.centers)
+        o[..., 2:4] = 8.0
+        o[..., 4] = -4.0
+        o[0, 0, :4] = (16 + dx, 16, 16, 16)
+        o[0, 0, 4] = 4.0
+        o[0, 0, 6] = 4.0
+        return jnp.asarray(o)
+
+    perfect = yolox_loss(outputs(0.0), tgt, tmask, geom, l1_weight=1.0)
+    off = yolox_loss(outputs(4.0), tgt, tmask, geom, l1_weight=1.0)
+    off_no_l1 = yolox_loss(outputs(4.0), tgt, tmask, geom, l1_weight=0.0)
+    # the matched anchor's own L1 contribution: 4 px / stride 16 = 0.25
+    assert float(perfect["l1"]) < 1e-5
+    assert float(off["l1"]) > 0.2
+    assert float(off_no_l1["l1"]) == 0.0
+    assert float(off["total"]) > float(off_no_l1["total"])
+
+    def loss_fn(o):
+        return yolox_loss(o, tgt, tmask, geom, l1_weight=1.0)["total"]
+    g = jax.grad(loss_fn)(outputs(4.0))
+    assert bool(jnp.isfinite(g).all())

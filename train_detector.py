@@ -49,7 +49,12 @@ def main(argv=None):
                              "train")
     logger = RunLogger(dirs["result_dir"], hparams=cfg)
 
-    train_ds = SequenceDataset(cfg, Path(cfg.dataset_directory), "train")
+    transform = None
+    if cfg.use_augmentations:
+        from eventad_tpu.data.augment import training_transform
+        transform = training_transform(cfg, seed=cfg.seed)
+    train_ds = SequenceDataset(cfg, Path(cfg.dataset_directory), "train",
+                               transform=transform)
     val_ds = SequenceDataset(cfg, Path(cfg.dataset_directory), "val")
     train_loader = Loader(train_ds, cfg, shuffle=True, seed=cfg.seed)
     val_loader = Loader(val_ds, cfg, shuffle=False)
@@ -68,20 +73,20 @@ def main(argv=None):
     opt_state = optimizer.init(params)
     ema = ema_init(params)
 
-    def loss_fn(params, state, batch):
+    def loss_fn(params, state, batch, l1_weight):
         _dets, decoded, new_state = detector_forward(
             params, state, batch, cfg, bc, training=True)
         logits = decoded.at[..., 4:].set(
             jnp.log(jnp.clip(decoded[..., 4:], 1e-6, 1 - 1e-6))
             - jnp.log1p(-jnp.clip(decoded[..., 4:], 1e-6, 1 - 1e-6)))
         tgt, tmask = convert_to_training_format(batch.bbox, batch.bbox_mask)
-        losses = yolox_loss(logits, tgt, tmask, geom)
+        losses = yolox_loss(logits, tgt, tmask, geom, l1_weight=l1_weight)
         return losses["total"], (losses, new_state)
 
     @jax.jit
-    def train_step(params, state, opt_state, ema, batch):
+    def train_step(params, state, opt_state, ema, batch, l1_weight):
         (loss, (losses, new_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, state, batch)
+            loss_fn, has_aux=True)(params, state, batch, l1_weight)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_ema = ema_update(ema, new_params)
@@ -96,12 +101,20 @@ def main(argv=None):
     step = 0
     for epoch in range(cfg.epochs):
         t0 = time.time()
+        # YOLOX no-aug phase: final epochs train without augmentation and
+        # with the L1 regression branch on (vendored head's use_l1 flip)
+        no_aug = (cfg.no_aug_epochs > 0
+                  and epoch >= cfg.epochs - cfg.no_aug_epochs)
+        if no_aug and train_ds.transform is not None:
+            print(f"epoch {epoch}: no-aug phase (L1 on, augmentations off)")
+            train_ds.transform = None
+        l1_w = jnp.float32(1.0 if no_aug else 0.0)
         for batch, _meta in train_loader:
             if not batch.bbox_mask.any():
                 continue
             batch = jax.tree.map(jnp.asarray, batch)
             params, state, opt_state, ema, losses = train_step(
-                params, state, opt_state, ema, batch)
+                params, state, opt_state, ema, batch, l1_w)
             step += 1
             if step % 20 == 0:
                 logger.log({k: float(v) for k, v in losses.items()},
