@@ -41,6 +41,20 @@ def main():
                                img_net=cfg.img_net, training=False)
         return out.logits
 
+    # roofline denominators from XLA's own cost model of the compiled
+    # program (flops + logical bytes accessed); v5e peaks: 197 TFLOP/s
+    # bf16 MXU, 819 GB/s HBM
+    try:
+        cost = fwd.lower(params, state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_flops = float(cost.get("flops", 0.0))
+        xla_bytes = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        xla_flops = xla_bytes = 0.0
+    PEAK_FLOPS = 197e12
+    PEAK_HBM = 819e9
+
     # bboxes per batch, counted like the reference (bbox + bbox0)
     n_boxes = int(np.asarray(batch.bbox_mask).sum()
                   + np.asarray(batch.bbox0_mask).sum())
@@ -88,6 +102,14 @@ def main():
         "events_per_item": n_events,
         "frames_per_sec": round(cfg.batch_size * iters / dt, 2),
     }
+    # roofline view: use the pipelined per-batch time (pure device time,
+    # no host round-trip) as the denominator
+    dev_s = dt_pipe / iters
+    if xla_flops:
+        result["mfu"] = round(xla_flops / dev_s / PEAK_FLOPS, 5)
+        result["hbm_gbps"] = round(xla_bytes / dev_s / 1e9, 1)
+        result["xla_gflops_per_batch"] = round(xla_flops / 1e9, 1)
+        result["xla_gbytes_per_batch"] = round(xla_bytes / 1e9, 2)
     print(json.dumps(result))
 
 

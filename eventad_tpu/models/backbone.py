@@ -24,7 +24,7 @@ from ..ops.norm import (BatchNormParams, BatchNormState, batch_norm,
 from ..ops.pooling import pool_graph
 from ..ops.spline_conv import (SplineConvParams, cartesian_attr,
                                init_spline_conv, spline_conv)
-from .graph import Graph, sample_image_features
+from .graph import Graph, neighbor_rows, sample_image_features
 
 
 # ---------------------------------------------------------------------------
@@ -89,21 +89,36 @@ def init_layer(key, cin: int, cout: int, kernel_size: int) -> tuple:
 def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 attr: jnp.ndarray = None, *, kernel_size: int, aggr: str,
                 activation, training: bool, cart_max: float = None,
-                return_pos_nbr: bool = False):
+                return_pos_nbr: bool = False, grid=None,
+                batch_size: int = None, span: int = 2,
+                gather_lookback: int = 0):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
-    With ``attr=None`` + ``cart_max``, the layer gathers ONE combined row
+    With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
     per edge (source xy + features) and derives the Cartesian attrs from it
     — TPU gathers cost a full memory tile per index, so folding the
     position gather into the feature gather halves the per-edge traffic;
     the gathered positions are returned for the downstream pooling when
-    ``return_pos_nbr`` is set."""
+    ``return_pos_nbr`` is set.
+
+    With ``grid`` (pooled levels), neighbour rows come from dense 2-D
+    shifts of the cell table (:func:`neighbor_rows`) instead of gathers —
+    the neighbour table at pooled levels is arithmetic offsets, so the
+    rows are contiguous slices."""
     x_in = g.x
     pos_nbr = None
     x_j1 = None
+
+    def rows_of(src):
+        if grid is not None:
+            return neighbor_rows(src, grid, batch_size, span)
+        from ..ops.gather_window import gather_rows_auto
+        return gather_rows_auto(src, g.nbr, g.nbr_mask,
+                                lookback=gather_lookback)
+
     if attr is None:
         src = jnp.concatenate([g.pos[:, :2], x_in], axis=1)
-        rows = src[g.nbr]                       # one combined gather
+        rows = rows_of(src)                     # one combined row fetch
         pos_nbr = rows[..., :2]
         x_j1 = rows[..., 2:]
         a = (g.pos[:, None, :2] - pos_nbr) / (2.0 * cart_max) + 0.5
@@ -120,7 +135,7 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     # ConvBlockWithSkip: conv(h) + bn ; skip = bn(lin(x_in)) ; act(sum)
     h2 = spline_conv(h, g.nbr, g.nbr_mask, attr, params.block2.conv,
                      kernel_size=kernel_size, aggr=aggr,
-                     node_mask=g.node_mask)
+                     node_mask=g.node_mask, x_j=rows_of(h))
     h2, bn2 = batch_norm(h2, g.node_mask, params.block2.bn, state.block2.bn,
                          training=training)
     skip = x_in @ params.skip_lin + params.skip_lin_bias
@@ -152,6 +167,9 @@ class BackboneConfig(NamedTuple):
     pooling_aggr: str
     keep_temporal_ordering: bool
     use_image: bool
+    # level-0 neighbour-window depth (the event-graph contract); enables the
+    # Pallas windowed row-gather on TPU. 0 = plain XLA gather.
+    gather_lookback: int = 0
 
 
 def make_backbone_config(cfg: Config) -> BackboneConfig:
@@ -167,7 +185,7 @@ def make_backbone_config(cfg: Config) -> BackboneConfig:
         batch_size=cfg.batch_size, kernel_size=cfg.kernel_size, aggr=cfg.aggr,
         activation=cfg.activation, pooling_aggr=cfg.pooling_aggr,
         keep_temporal_ordering=cfg.keep_temporal_ordering,
-        use_image=cfg.use_image)
+        use_image=cfg.use_image, gather_lookback=cfg.graph_lookback)
 
 
 def layer_in_out_channels(bc: BackboneConfig):
@@ -252,7 +270,10 @@ def backbone_forward(params: BackboneParams,
             params.layers[level], state.layers[level], g,
             cart_max=bc.cart_max[level], kernel_size=bc.kernel_size,
             aggr=bc.aggr, activation=act, training=training,
-            return_pos_nbr=True)
+            return_pos_nbr=True,
+            grid=bc.grids[level - 1] if level > 0 else None,
+            batch_size=bc.batch_size,
+            gather_lookback=bc.gather_lookback if level == 0 else 0)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -23,6 +24,42 @@ class Graph(NamedTuple):
     nbr_mask: jnp.ndarray   # [N, K] bool
     node_mask: jnp.ndarray  # [N] bool
     batch: jnp.ndarray      # [N] int32
+
+
+def neighbor_rows(src: jnp.ndarray, grid, batch_size: int,
+                  span: int) -> jnp.ndarray:
+    """Neighbour rows of a pooled cell table WITHOUT a gather.
+
+    At pooled levels the neighbour table is arithmetic — slot ``s`` of cell
+    ``(b, cy, cx)`` is cell ``(b, cy + oy, cx + ox)`` with
+    ``(oy, ox) = (s // side - span, s % side - span)``
+    (:func:`eventad_tpu.ops.pooling.pool_graph` builds ``nbr`` exactly this
+    way).  A TPU gather fetches a full memory tile (~4 KB) per index, so
+    ``src[nbr]`` costs ``M * S`` tiles; the same rows are ``S`` contiguous
+    2-D shifts of the grid-shaped table, costing only the actual bytes.
+
+    Args:
+      src: ``[M, C]`` cell table, ``M = batch_size * ny * nx`` in the
+        pooling's (b, iy, ix) order.
+      grid: ``(nx, ny)`` cells.
+      span: neighbourhood half-width (slots = ``(2*span+1)**2``).
+
+    Returns ``[M, S, C]``; out-of-grid slots are zero (callers mask them via
+    ``nbr_mask``, which is False there).
+    """
+    nx, ny = grid
+    side = 2 * span + 1
+    c = src.shape[1]
+    g = src.reshape(batch_size, ny, nx, c)
+    gp = jnp.pad(g, ((0, 0), (span, span), (span, span), (0, 0)))
+    slots = []
+    for oy in range(-span, span + 1):
+        for ox in range(-span, span + 1):
+            slots.append(jax.lax.slice(
+                gp, (0, span + oy, span + ox, 0),
+                (batch_size, span + oy + ny, span + ox + nx, c)))
+    stk = jnp.stack(slots, axis=3)                 # [B, ny, nx, S, C]
+    return stk.reshape(batch_size * ny * nx, side * side, c)
 
 
 def sample_image_features(feat: jnp.ndarray,

@@ -24,7 +24,7 @@ from ..ops.norm import batch_norm, init_batch_norm
 from ..ops.spline_conv import (SplineConvParams, init_spline_conv,
                                spline_conv)
 from .backbone import (BackboneConfig, ConvBlockParams, ConvBlockState, _act)
-from .graph import Graph
+from .graph import Graph, neighbor_rows
 
 
 class ScaleHeadParams(NamedTuple):
@@ -86,11 +86,13 @@ def init_gnn_head(key, bc: BackboneConfig, num_classes: int = 2,
 
 
 def _apply_block(p: ConvBlockParams, s: ConvBlockState, g: Graph, attr,
-                 bc: BackboneConfig, training: bool):
+                 bc: BackboneConfig, training: bool, grid=None):
     act = _act(bc.activation)
+    x_j = (neighbor_rows(g.x, grid, bc.batch_size, span=2)
+           if grid is not None else None)
     h = spline_conv(g.x, g.nbr, g.nbr_mask, attr, p.conv,
                     kernel_size=bc.kernel_size, aggr=bc.aggr,
-                    node_mask=g.node_mask)
+                    node_mask=g.node_mask, x_j=x_j)
     h, ns = batch_norm(h, g.node_mask, p.bn, s.bn, training=training)
     h = act(h)
     h = jnp.where(g.node_mask[:, None], h, 0.0)
@@ -110,14 +112,18 @@ def _to_dense(x: jnp.ndarray, grid: Tuple[int, int], batch_size: int,
 
 def gnn_head_scale_forward(p: ScaleHeadParams, s: ScaleHeadState, g: Graph,
                            attr, grid, bc: BackboneConfig, training: bool):
-    g1, ns1 = _apply_block(p.stem, s.stem, g, attr, bc, training)
-    gc, ns2 = _apply_block(p.cls_conv, s.cls_conv, g1, attr, bc, training)
-    gr, ns3 = _apply_block(p.reg_conv, s.reg_conv, g1, attr, bc, training)
+    g1, ns1 = _apply_block(p.stem, s.stem, g, attr, bc, training, grid)
+    gc, ns2 = _apply_block(p.cls_conv, s.cls_conv, g1, attr, bc, training,
+                           grid)
+    gr, ns3 = _apply_block(p.reg_conv, s.reg_conv, g1, attr, bc, training,
+                           grid)
 
     def pred(pp, gg):
         return spline_conv(gg.x, gg.nbr, gg.nbr_mask, attr, pp,
                            kernel_size=bc.kernel_size, aggr=bc.aggr,
-                           node_mask=gg.node_mask)
+                           node_mask=gg.node_mask,
+                           x_j=neighbor_rows(gg.x, grid, bc.batch_size,
+                                             span=2))
     cls_o = _to_dense(pred(p.cls_pred, gc), grid, bc.batch_size, g.node_mask)
     reg_o = _to_dense(pred(p.reg_pred, gr), grid, bc.batch_size, g.node_mask)
     obj_o = _to_dense(pred(p.obj_pred, gr), grid, bc.batch_size, g.node_mask)

@@ -161,16 +161,21 @@ def build_graph_pallas(pos: jnp.ndarray,
     tw = to_lanes(t, 0)
     rw = to_lanes(ranks, big)
 
-    # per-program dynamic loop bound from the temporal cutoff
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
-    t_body = jnp.where(idx[None, :] < n, jnp.pad(
-        t, ((0, 0), (0, tail)), constant_values=2**30), jnp.int32(2**30))
+    # per-program dynamic loop bound from the temporal cutoff. One
+    # conservative bound per CHUNK (a per-event searchsorted costs a gather
+    # per binary-search step — measured 13 ms at 98k events): every
+    # candidate of any destination in chunk c has
+    # ``t_j >= t_first(c) - delta_t``, so the chunk's lookback is at most
+    # ``last_index(c) - searchsorted(t, t_first(c) - delta_t)``.
+    t_pad = jnp.pad(t, ((0, 0), (0, tail)), constant_values=2**30)
+    t_first = t_pad[:, ::chunk]                          # [B, n_chunks]
     starts = jax.vmap(
-        lambda tb: jnp.searchsorted(tb, tb - delta_t_us, side="left")
-    )(t_body).astype(jnp.int32)
-    li = jnp.clip(idx[None, :] - starts, 0, lookback)
-    li = jnp.where(idx[None, :] < n, li, 0)
-    lmax_chunk = jnp.max(li.reshape(b, n_chunks, chunk), axis=-1) \
+        lambda tb, q: jnp.searchsorted(tb, q, side="left")
+    )(t_pad, t_first - delta_t_us).astype(jnp.int32)     # [B, n_chunks]
+    cid = jnp.arange(n_chunks, dtype=jnp.int32)
+    lmax_chunk = jnp.clip((cid[None, :] + 1) * chunk - 1 - starts,
+                          0, lookback)
+    lmax_chunk = jnp.where(cid[None, :] * chunk < n, lmax_chunk, 0) \
         .reshape(p_total)
     lmax_chunk = jnp.pad(lmax_chunk, (0, p_pad - p_total))
     lmax = jnp.max(lmax_chunk.reshape(n_programs, _LANES), axis=-1) \

@@ -110,7 +110,13 @@ def spline_conv(x: jnp.ndarray,
             * w[..., s][..., None]
     if x_j is None:
         x_j = x[nbr]                                   # [N, K, Cin]
-    z = jnp.einsum("nkm,nkc->nmc", coeff, x_j)         # [N, M, Cin]
+    if n * k >= 1 << 20:
+        # XLA lowers the einsum to N tiny batched matmuls ([M,K]@[K,C] per
+        # node) — latency-bound at event scale (measured 7.2 ms at 98k
+        # nodes vs 3.1 ms for the fused broadcast-reduce)
+        z = (coeff[:, :, :, None] * x_j[:, :, None, :]).sum(axis=1)
+    else:
+        z = jnp.einsum("nkm,nkc->nmc", coeff, x_j)     # [N, M, Cin]
     out = z.reshape(n, m * cin) @ params.weight.reshape(m * cin, -1)
     if params.root is not None:
         out = out + xd @ params.root

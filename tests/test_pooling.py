@@ -111,6 +111,25 @@ def test_pool_temporal_ordering(rng):
     assert got == eedges
 
 
+def test_neighbor_rows_matches_gather(rng):
+    """Dense-shift neighbour access == src[nbr] at every masked slot, for a
+    real pool_graph output (the arithmetic-offset contract of the pooled
+    neighbour table)."""
+    from eventad_tpu.models.graph import neighbor_rows
+
+    x, pos, nbr, mask, node_mask, batch = _random_graph(rng)
+    grid, bsz, w, h = (8, 6), 2, 64, 48
+    g = pool_graph(jnp.asarray(x), jnp.asarray(pos), jnp.asarray(nbr),
+                   jnp.asarray(mask), jnp.asarray(node_mask),
+                   jnp.asarray(batch), grid=grid, batch_size=bsz,
+                   width=w, height=h, aggr="max", span=2)
+    src = jnp.concatenate([g.pos[:, :2], g.x], axis=1)
+    gathered = np.asarray(src[g.nbr])                 # [M, S, C]
+    shifted = np.asarray(neighbor_rows(src, grid, bsz, span=2))
+    m = np.asarray(g.nbr_mask)
+    np.testing.assert_array_equal(shifted[m], gathered[m])
+
+
 def test_pool_inactive_cells_zero(rng):
     x, pos, nbr, mask, node_mask, batch = _random_graph(rng, n=20)
     g = pool_graph(jnp.asarray(x), jnp.asarray(pos), jnp.asarray(nbr),
