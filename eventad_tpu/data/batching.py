@@ -13,6 +13,7 @@ needs static shapes, so a batch is:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
@@ -47,6 +48,94 @@ class BatchMeta:
     sequences: List[str]
     frame_ids: List[int]
     n_items: int
+    # events dropped because an item overflowed the largest padding bucket
+    # (most recent kept); surfaced so truncation is never silent
+    truncated_events: int = 0
+
+
+def _batch_specs(cfg, n_cap: int, d: int = 64):
+    """(field, dtype, shape) of every EventBatch array at a given bucket."""
+    b, s = cfg.batch_size, cfg.max_boxes + 1
+    h, w = cfg.model_height, cfg.model_width
+    return [
+        ("pos", np.int32, (b, n_cap, 3)),
+        ("polarity", np.float32, (b, n_cap)),
+        ("valid", np.bool_, (b, n_cap)),
+        ("rank", np.int32, (b, n_cap)),
+        ("image", np.float32, (b, h, w, 3)),
+        ("boxes", np.float32, (b, 2, s, 4)),
+        ("box_present", np.bool_, (b, 2, s)),
+        ("box_labels", np.int32, (b, s)),
+        ("bbox", np.float32, (b, d, 6)),
+        ("bbox_mask", np.bool_, (b, d)),
+        ("bbox0", np.float32, (b, d, 6)),
+        ("bbox0_mask", np.bool_, (b, d)),
+    ]
+
+
+def _slot_layout(cfg):
+    """Field -> (offset, dtype, max_shape) within one shared-memory slot,
+    sized for the largest event bucket."""
+    specs = _batch_specs(cfg, cfg.event_buckets[-1])
+    layout, off = {}, 0
+    for name, dt, shape in specs:
+        nbytes = int(np.prod(shape)) * np.dtype(dt).itemsize
+        layout[name] = (off, dt, shape)
+        off += -(-nbytes // 128) * 128     # keep fields 128B-aligned
+    return layout, off
+
+
+def _slot_views(buf, layout, n_cap):
+    """numpy views into a slot for the actual bucket size ``n_cap``."""
+    views = {}
+    for name, (off, dt, shape) in layout.items():
+        a = np.ndarray(shape, dtype=dt, buffer=buf, offset=off)
+        if name in ("pos", "polarity", "valid", "rank"):
+            a = a[:, :n_cap]
+        views[name] = a
+    return views
+
+
+def _decode_worker(ds, cfg, shm_names, taskq, freeq, outq):
+    """Persistent decode worker (module-level so "spawn" can pickle it by
+    reference). Loops on ``taskq`` tasks ``(batch_idx, item_indices)``,
+    decodes+collates into a free shared-memory slot and sends only
+    ``(batch_idx, slot, n_cap, meta)`` — queue pipes on this class of VM
+    move ~23 MB/s, far below what the chip consumes, so the arrays ride
+    shared memory. A ``None`` task shuts the worker down. Decode errors are
+    reported as ``(None, 0, 0, exception)`` and the worker keeps serving."""
+    from multiprocessing import shared_memory, resource_tracker
+    shms = []
+    try:
+        layout, _ = _slot_layout(cfg)
+        for nm in shm_names:
+            shm = shared_memory.SharedMemory(name=nm)
+            # the parent owns the segments; stop the child's tracker from
+            # double-unlinking them at exit
+            try:
+                resource_tracker.unregister(shm._name, "shared_memory")
+            except Exception:
+                pass
+            shms.append(shm)
+        while True:
+            task = taskq.get()
+            if task is None:
+                break
+            ep, i, idx = task
+            try:
+                items = [ds[int(j)] for j in idx]
+                batch, meta = collate(items, cfg)
+                slot = freeq.get()
+                views = _slot_views(shms[slot].buf, layout,
+                                    batch.pos.shape[1])
+                for name, arr in batch._asdict().items():
+                    np.copyto(views[name], arr)
+                outq.put((ep, i, slot, batch.pos.shape[1], meta))
+            except BaseException as e:
+                outq.put((ep, None, 0, 0, e))
+    finally:
+        for shm in shms:
+            shm.close()
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -96,8 +185,10 @@ def collate(items: List[Item], cfg: Config,
     bbox0_m = np.zeros((bsz, max_detections), bool)
 
     seqs, fids = [], []
+    truncated = 0
     for b, it in enumerate(items[:bsz]):
         n = min(len(it.events["t"]), n_cap)
+        truncated += len(it.events["t"]) - n
         # keep the most recent events when over budget (the reference's
         # sliding window favours recency)
         sl = slice(len(it.events["t"]) - n, len(it.events["t"]))
@@ -125,23 +216,48 @@ def collate(items: List[Item], cfg: Config,
 
     batch = EventBatch(pos, pol, valid, rank, image, boxes, present,
                        labels, bbox, bbox_m, bbox0, bbox0_m)
-    return batch, BatchMeta(seqs, fids, len(items[:bsz]))
+    return batch, BatchMeta(seqs, fids, len(items[:bsz]), truncated)
 
 
 class Loader:
-    """Minimal host loader: sequential or shuffled batching with optional
-    thread prefetch (replaces torch DataLoader workers)."""
+    """Host loader: sequential or shuffled batching with thread prefetch and
+    optional multi-process decode (replaces torch ``DataLoader`` with
+    ``num_workers=4``, reference config/eventad_config.py:121).
+
+    ``num_workers >= 2`` forks that many decode processes, each handling
+    every ``num_workers``-th batch (decode + collate); the parent reorders
+    and yields in batch order. Forked children drop inherited h5 handles and
+    reopen their own (h5py handles must not be shared across processes).
+    """
 
     def __init__(self, dataset, cfg: Config, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: Optional[int] = None):
         self.ds = dataset
         self.cfg = cfg
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        requested = cfg.num_workers if num_workers is None else num_workers
+        # more decode processes than cores only adds overhead; on a 1-CPU
+        # host this degrades to the prefetch thread
+        self.num_workers = min(requested, os.cpu_count() or 1) \
+            if num_workers is None else requested
         self._epoch = 0
+        self.truncated_events = 0   # running counter, never silent
+        self._warned_truncation = False
+
+    def _note_truncation(self, meta: "BatchMeta"):
+        self.truncated_events += meta.truncated_events
+        if meta.truncated_events and not self._warned_truncation:
+            import warnings
+            warnings.warn(
+                f"event window exceeded the largest padding bucket "
+                f"({self.cfg.event_buckets[-1]}); dropped "
+                f"{meta.truncated_events} oldest events (counter on "
+                f"Loader.truncated_events)")
+            self._warned_truncation = True
 
     def __len__(self):
         n = len(self.ds)
@@ -156,37 +272,145 @@ class Loader:
         return idx
 
     def __iter__(self) -> Iterator[tuple]:
+        order = self._order()
+        self._epoch += 1
+        n_batches = len(self)
+        # process decode only when there is enough work to amortize the
+        # spawn cost; small/synthetic epochs stay on the prefetch thread
+        if self.num_workers >= 2 and n_batches >= 2 * self.num_workers:
+            it = self._iter_processes(order, n_batches)
+        elif self.prefetch > 0:
+            it = self._iter_thread(order, n_batches)
+        else:
+            it = self._iter_serial(order, n_batches)
+        for batch, meta in it:
+            self._note_truncation(meta)
+            yield batch, meta
+
+    def _chunk(self, order, i):
+        b = self.cfg.batch_size
+        return order[i * b:(i + 1) * b]
+
+    def _iter_serial(self, order, n_batches):
+        for i in range(n_batches):
+            items = [self.ds[int(j)] for j in self._chunk(order, i)]
+            yield collate(items, self.cfg)
+
+    def _iter_thread(self, order, n_batches):
         import queue
         import threading
 
-        order = self._order()
-        self._epoch += 1
-        b = self.cfg.batch_size
-        n_batches = len(self)
-
         def produce(q):
             try:
-                for i in range(n_batches):
-                    chunk = order[i * b:(i + 1) * b]
-                    items = [self.ds[int(j)] for j in chunk]
-                    q.put(collate(items, self.cfg))
+                for out in self._iter_serial(order, n_batches):
+                    q.put(out)
                 q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
 
-        if self.prefetch > 0:
-            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-            th = threading.Thread(target=produce, args=(q,), daemon=True)
-            th.start()
-            while True:
-                out = q.get()
-                if out is None:
-                    break
-                if isinstance(out, BaseException):
-                    raise out
-                yield out
-        else:
-            for i in range(n_batches):
-                chunk = order[i * b:(i + 1) * b]
-                items = [self.ds[int(j)] for j in chunk]
-                yield collate(items, self.cfg)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        th = threading.Thread(target=produce, args=(q,), daemon=True)
+        th.start()
+        while True:
+            out = q.get()
+            if out is None:
+                break
+            if isinstance(out, BaseException):
+                raise out
+            yield out
+
+    def _ensure_pool(self):
+        """Lazily spawn the persistent decode pool (spawn costs seconds on
+        this class of VM — pay it once per Loader, not per epoch)."""
+        if getattr(self, "_pool", None) is not None:
+            return self._pool
+        import multiprocessing as mp
+        from multiprocessing import shared_memory
+        ctx = mp.get_context("spawn")
+        nw = self.num_workers
+        layout, slot_bytes = _slot_layout(self.cfg)
+        n_slots = 2 * nw + 2
+        shms = [shared_memory.SharedMemory(create=True, size=slot_bytes)
+                for _ in range(n_slots)]
+        taskq = ctx.Queue()
+        freeq = ctx.Queue()
+        for s in range(n_slots):
+            freeq.put(s)
+        outq = ctx.Queue()
+        procs = [ctx.Process(target=_decode_worker,
+                             args=(self.ds, self.cfg,
+                                   [m.name for m in shms], taskq, freeq,
+                                   outq),
+                             daemon=True)
+                 for _ in range(nw)]
+        # the axon sitecustomize registers a TPU tunnel session in EVERY
+        # python process when this var is set (~12 s startup + it would
+        # contend for the single tunnel); decode workers must not
+        saved_axon = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        try:
+            for p in procs:
+                p.start()
+        finally:
+            if saved_axon is not None:
+                os.environ["PALLAS_AXON_POOL_IPS"] = saved_axon
+        self._pool = dict(procs=procs, shms=shms, layout=layout,
+                          taskq=taskq, freeq=freeq, outq=outq)
+        return self._pool
+
+    def close(self):
+        """Shut down the persistent decode pool (idempotent)."""
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            return
+        self._pool = None
+        for _ in pool["procs"]:
+            try:
+                pool["taskq"].put(None)
+            except Exception:
+                pass
+        for p in pool["procs"]:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        for m in pool["shms"]:
+            m.close()
+            try:
+                m.unlink()
+            except FileNotFoundError:
+                pass
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _iter_processes(self, order, n_batches):
+        pool = self._ensure_pool()
+        # epoch tag: results of an abandoned earlier epoch (caller broke out
+        # of the iterator) are drained, their slots recycled
+        ep = self._epoch
+        for i in range(n_batches):
+            pool["taskq"].put((ep, i,
+                               [int(j) for j in self._chunk(order, i)]))
+        pending: dict = {}
+        nxt = 0
+        while nxt < n_batches:
+            if nxt in pending:
+                yield pending.pop(nxt)
+                nxt += 1
+                continue
+            rep, i, slot, n_cap, meta = pool["outq"].get()
+            if i is None:
+                if rep == ep:
+                    raise meta
+                continue                     # stale-epoch error: drop
+            if rep != ep:
+                pool["freeq"].put(slot)      # stale-epoch result: recycle
+                continue
+            views = _slot_views(pool["shms"][slot].buf, pool["layout"],
+                                n_cap)
+            batch = EventBatch(**{k: np.array(v)
+                                  for k, v in views.items()})
+            pool["freeq"].put(slot)
+            pending[i] = (batch, meta)

@@ -70,6 +70,11 @@ class EventFile:
             self._f.close()
             self._f = None
 
+    def __getstate__(self):
+        # picklable for multi-process loaders: drop the open handle; each
+        # process lazily reopens its own (h5py handles can't cross processes)
+        return {"path": self.path, "_f": None}
+
     @property
     def t_offset(self) -> int:
         return int(self.f["t_offset"][()]) if "t_offset" in self.f else 0

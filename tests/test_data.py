@@ -89,3 +89,26 @@ def test_loader_iteration(synth_root):
     assert len(batches) == len(loader)
     seqs = [s for _b, m in batches for s in m.sequences]
     assert len(seqs) == len(ds)
+
+
+def test_loader_process_pool_matches_serial(synth_root):
+    """The shared-memory decode pool must produce byte-identical batches
+    to the in-process path, in order, across two epochs (pool persists)."""
+    root, cfg = synth_root
+    cfg = cfg.replace(split=str(root / "rol_split.yaml"))
+    ds = SequenceDataset(cfg, root, "val")
+    serial = Loader(ds, cfg, shuffle=True, seed=3, prefetch=0,
+                    num_workers=0)
+    pooled = Loader(ds, cfg, shuffle=True, seed=3, num_workers=2)
+    try:
+        for _epoch in range(2):
+            got = list(pooled)
+            want = list(serial)
+            assert len(got) == len(want) > 0
+            for (gb, gm), (wb, wm) in zip(got, want):
+                assert gm.sequences == wm.sequences
+                assert gm.frame_ids == wm.frame_ids
+                for a, b in zip(gb, wb):
+                    np.testing.assert_array_equal(a, b)
+    finally:
+        pooled.close()
