@@ -28,7 +28,11 @@ def main():
                                          model_forward)
 
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    cfg = Config(batch_size=6, use_image=True,
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    # bf16 frozen-feature path is the production inference mode (validated
+    # vs f32 in tests/test_bf16_path.py); pass "float32" as argv[2] for the
+    # strict-f32 number
+    cfg = Config(batch_size=6, use_image=True, compute_dtype=dtype,
                  event_buckets=(n_events,))   # 1080/3 x 720/3 = 360x240
     params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
     gsc = graph_static_config(cfg)

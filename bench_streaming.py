@@ -30,6 +30,9 @@ def main():
         "p99_ms": round(lat["p99_ms"], 3),
         "append_p50_ms": round(lat["append_p50_ms"], 3),
         "refresh_ms": round(lat["refresh_ms"], 3),
+        "device_step_ms": round(lat["device_step_ms"], 3),
+        "device_append_ms": round(lat["device_append_ms"], 3),
+        "device_read_ms": round(lat["device_read_ms"], 3),
         "events_per_chunk": n_chunk,
         "dense_mflops": round(fl["dense_mflops"], 1),
         "delta_mflops": round(fl["delta_mflops"], 1),

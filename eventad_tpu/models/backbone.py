@@ -108,6 +108,7 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     x_in = g.x
     pos_nbr = None
     x_j1 = None
+    dt = x_in.dtype
 
     def rows_of(src):
         if grid is not None:
@@ -116,14 +117,24 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
         return gather_rows_auto(src, g.nbr, g.nbr_mask,
                                 lookback=gather_lookback)
 
+    if dt != jnp.float32:
+        # cast weights once; positions/attrs are derived in f32 then cast
+        params = jax.tree.map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+
     if attr is None:
-        src = jnp.concatenate([g.pos[:, :2], x_in], axis=1)
-        rows = rows_of(src)                     # one combined row fetch
+        # combined row fetch stays f32 (gather cost is index-dominated, and
+        # positions must stay exact — cell assignment & attrs derive from
+        # them); features cast to the compute dtype afterwards
+        src = jnp.concatenate([g.pos[:, :2], x_in.astype(jnp.float32)],
+                              axis=1)
+        rows = rows_of(src)
         pos_nbr = rows[..., :2]
-        x_j1 = rows[..., 2:]
+        x_j1 = rows[..., 2:].astype(dt)
         a = (g.pos[:, None, :2] - pos_nbr) / (2.0 * cart_max) + 0.5
         a = jnp.clip(a, 0.0, 1.0)
         attr = jnp.where(g.nbr_mask[..., None], a, 0.5)
+    attr = attr.astype(dt)
     # ConvBlock 1: conv -> bn -> act
     h = spline_conv(x_in, g.nbr, g.nbr_mask, attr, params.block1.conv,
                     kernel_size=kernel_size, aggr=aggr,
@@ -170,6 +181,11 @@ class BackboneConfig(NamedTuple):
     # level-0 neighbour-window depth (the event-graph contract); enables the
     # Pallas windowed row-gather on TPU. 0 = plain XLA gather.
     gather_lookback: int = 0
+    # activation/weight dtype of the frozen feature path ("float32" or
+    # "bfloat16"); the forward is HBM-bandwidth-bound, so bf16 halves the
+    # dominant traffic. Positions, BN statistics and the recurrent head
+    # stay float32.
+    compute_dtype: str = "float32"
 
 
 def make_backbone_config(cfg: Config) -> BackboneConfig:
@@ -185,7 +201,8 @@ def make_backbone_config(cfg: Config) -> BackboneConfig:
         batch_size=cfg.batch_size, kernel_size=cfg.kernel_size, aggr=cfg.aggr,
         activation=cfg.activation, pooling_aggr=cfg.pooling_aggr,
         keep_temporal_ordering=cfg.keep_temporal_ordering,
-        use_image=cfg.use_image, gather_lookback=cfg.graph_lookback)
+        use_image=cfg.use_image, gather_lookback=cfg.graph_lookback,
+        compute_dtype=cfg.compute_dtype)
 
 
 def layer_in_out_channels(bc: BackboneConfig):
@@ -232,19 +249,20 @@ def backbone_forward(params: BackboneParams,
     """
     act = _act(bc.activation)
     new_states = []
-    g = g0
+    dt = (jnp.bfloat16 if bc.compute_dtype == "bfloat16" else jnp.float32)
+    g = g0._replace(x=g0.x.astype(dt))
 
     def cat_image(g, level):
         if not bc.use_image:
             return g
         f = sample_image_features(image_feats[level], g.pos, g.batch,
                                   g.node_mask, bc.width, bc.height)
-        return g._replace(x=jnp.concatenate([g.x, f], axis=1))
+        return g._replace(x=jnp.concatenate([g.x, f.astype(dt)], axis=1))
 
     def cat_rel(g):
         # reference net.py:122-123: append normalized xy as features
         rel = jnp.where(g.node_mask[:, None], g.pos[:, :2], 0.0)
-        return g._replace(x=jnp.concatenate([g.x, rel], axis=1))
+        return g._replace(x=jnp.concatenate([g.x, rel.astype(dt)], axis=1))
 
     outs = []
     pos_nbr = None   # gathered source positions of the previous layer

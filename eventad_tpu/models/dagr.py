@@ -114,7 +114,8 @@ def dagr_extract_features(params: DAGRParams, state: DAGRState,
     ncs = state.cnn
     if bc.use_image:
         feats, _, ncs = cnn_branch_forward(params.cnn, state.cnn, image,
-                                           img_net, training=False)
+                                           img_net, training=False,
+                                           compute_dtype=bc.compute_dtype)
         image_feats = feats
     outs, nbs = backbone_forward(params.backbone, state.backbone, g0,
                                  image_feats, bc, training=training)
@@ -146,7 +147,9 @@ def model_forward(params: ModelParams,
 
     feats = extract_box_features(out4, batch.boxes, batch.box_present,
                                  bc.batch_size, bc.width, bc.height)
-    feats = jax.lax.stop_gradient(feats)
+    # the trained recurrent head always runs f32 (bf16 is only the frozen
+    # feature path's compute dtype)
+    feats = jax.lax.stop_gradient(feats).astype(jnp.float32)
 
     denom = jnp.asarray([bc.width, bc.height, bc.width, bc.height],
                         jnp.float32)

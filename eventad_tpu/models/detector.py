@@ -62,7 +62,7 @@ def detector_forward(params: DetectorParams,
     if bc.use_image:
         image_feats, image_outs, ncs = cnn_branch_forward(
             params.dagr.cnn, state.dagr.cnn, batch.image, cfg.img_net,
-            training=False)
+            training=False, compute_dtype=bc.compute_dtype)
     outs, nbs = backbone_forward(params.dagr.backbone, state.dagr.backbone,
                                  g0, image_feats, bc, training=training)
 

@@ -108,6 +108,8 @@ def sample_image_features(feat: jnp.ndarray,
 
     v00, v01 = tap_pair(y0i)
     v10, v11 = tap_pair(y0i + 1)
+    tx = tx.astype(feat.dtype)   # keep the blend in the feature dtype
+    ty = ty.astype(feat.dtype)
     out = ((1 - ty) * ((1 - tx) * v00 + tx * v01)
            + ty * ((1 - tx) * v10 + tx * v11))
     return jnp.where(node_mask[:, None], out, 0.0)

@@ -190,9 +190,20 @@ def init_cnn_branch(key, arch: str, feature_channels: List[int],
 
 
 def cnn_branch_forward(params, state, image, arch: str = "resnet50",
-                       training: bool = False):
-    """Returns (features [5 maps], outputs [2 maps], new_state), NHWC."""
+                       training: bool = False, compute_dtype: str = "float32"):
+    """Returns (features [5 maps], outputs [2 maps], new_state), NHWC.
+    ``compute_dtype="bfloat16"`` casts weights+activations (eval only; BN
+    running stats stay f32 inside _bn_apply's affine)."""
+    orig_state = state
+    if compute_dtype == "bfloat16" and not training:
+        cast = lambda a: (a.astype(jnp.bfloat16)
+                          if a.dtype == jnp.float32 else a)
+        params = jax.tree.map(cast, params)
+        state = jax.tree.map(cast, state)
+        image = image.astype(jnp.bfloat16)
     taps, ns = resnet_forward(params["resnet"], state, image, arch, training)
+    if compute_dtype == "bfloat16" and not training:
+        ns = orig_state   # eval mode: BN state is unchanged; keep it f32
     feats = [
         _conv(taps[l], params["feature_dconv"][i]["w"])
         + params["feature_dconv"][i]["b"]

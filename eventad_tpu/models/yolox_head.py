@@ -88,9 +88,12 @@ def init_gnn_head(key, bc: BackboneConfig, num_classes: int = 2,
 def _apply_block(p: ConvBlockParams, s: ConvBlockState, g: Graph, attr,
                  bc: BackboneConfig, training: bool, grid=None):
     act = _act(bc.activation)
+    if g.x.dtype != jnp.float32:
+        p = jax.tree.map(lambda a: a.astype(g.x.dtype)
+                         if a.dtype == jnp.float32 else a, p)
     x_j = (neighbor_rows(g.x, grid, bc.batch_size, span=2)
            if grid is not None else None)
-    h = spline_conv(g.x, g.nbr, g.nbr_mask, attr, p.conv,
+    h = spline_conv(g.x, g.nbr, g.nbr_mask, attr.astype(g.x.dtype), p.conv,
                     kernel_size=bc.kernel_size, aggr=bc.aggr,
                     node_mask=g.node_mask, x_j=x_j)
     h, ns = batch_norm(h, g.node_mask, p.bn, s.bn, training=training)
@@ -119,7 +122,11 @@ def gnn_head_scale_forward(p: ScaleHeadParams, s: ScaleHeadState, g: Graph,
                            grid)
 
     def pred(pp, gg):
-        return spline_conv(gg.x, gg.nbr, gg.nbr_mask, attr, pp,
+        if gg.x.dtype != jnp.float32:
+            pp = jax.tree.map(lambda a: a.astype(gg.x.dtype)
+                              if a.dtype == jnp.float32 else a, pp)
+        return spline_conv(gg.x, gg.nbr, gg.nbr_mask,
+                           attr.astype(gg.x.dtype), pp,
                            kernel_size=bc.kernel_size, aggr=bc.aggr,
                            node_mask=gg.node_mask,
                            x_j=neighbor_rows(gg.x, grid, bc.batch_size,
@@ -219,6 +226,7 @@ def decode_outputs(maps, strides):
     wh decoded via exp (dagr.py:314-320)."""
     outs = []
     for m, stride in zip(maps, strides):
+        m = m.astype(jnp.float32)   # decode/NMS geometry stays f32
         b, c, ny, nx = m.shape
         flat = m.reshape(b, c, ny * nx).transpose(0, 2, 1)
         gx = jnp.tile(jnp.arange(nx), ny).astype(flat.dtype)

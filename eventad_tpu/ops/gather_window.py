@@ -161,7 +161,9 @@ def gather_window_rows(src: jnp.ndarray,
 
 def gather_rows_auto(src, nbr, nbr_mask, *, lookback: int = 0):
     """Dispatch: windowed Pallas kernel on TPU when a window contract is
-    declared (lookback > 0), plain XLA gather otherwise."""
-    if lookback > 0 and jax.default_backend() == "tpu":
+    declared (lookback > 0), plain XLA gather otherwise (the kernel's
+    window DMA and hi/lo split are f32-only)."""
+    if (lookback > 0 and src.dtype == jnp.float32
+            and jax.default_backend() == "tpu"):
         return gather_window_rows(src, nbr, nbr_mask, lookback=lookback)
     return jnp.where(nbr_mask[..., None], src[nbr], 0.0)

@@ -46,10 +46,11 @@ def batch_norm(x: jnp.ndarray,
     + m*batch.
     """
     if training:
-        m = mask[:, None].astype(x.dtype)
+        xf = x.astype(jnp.float32)          # stats always in f32
+        m = mask[:, None].astype(jnp.float32)
         cnt = jnp.maximum(m.sum(), 1.0)
-        mean = (x * m).sum(axis=0) / cnt
-        d = (x - mean) * m
+        mean = (xf * m).sum(axis=0) / cnt
+        d = (xf - mean) * m
         var = (d * d).sum(axis=0) / cnt
         unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
         new_state = BatchNormState(
@@ -58,7 +59,14 @@ def batch_norm(x: jnp.ndarray,
     else:
         mean, var = state.mean, state.var
         new_state = state
-    y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
-    y = y * params.scale + params.offset
+    if x.dtype == jnp.float32:
+        # torch-order arithmetic (bit-comparable to the reference modules)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+        y = y * params.scale + params.offset
+    else:
+        # bf16 compute path: fold into one affine in f32, apply in x.dtype
+        a = params.scale * jnp.reciprocal(jnp.sqrt(var + eps))
+        b = params.offset - mean * a
+        y = x * a.astype(x.dtype) + b.astype(x.dtype)
     y = jnp.where(mask[:, None], y, 0.0)
     return y, new_state

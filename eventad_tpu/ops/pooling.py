@@ -83,11 +83,14 @@ def pool_graph(x: jnp.ndarray,
         pooled_x = acc[:m_total]
         pooled_x = jnp.where(jnp.isfinite(pooled_x), pooled_x, 0.0)
     elif aggr == "mean":
-        acc = jnp.zeros((m_total + 1, x.shape[1]), dtype=x.dtype)
-        acc = acc.at[cell_safe].add(jnp.where(node_mask[:, None], x, 0.0))
-        cnt = jnp.zeros((m_total + 1,), dtype=x.dtype).at[cell_safe].add(
-            node_mask.astype(x.dtype))
-        pooled_x = acc[:m_total] / jnp.maximum(cnt[:m_total, None], 1.0)
+        # sums/counts in f32 (a bf16 accumulator loses integers above 256)
+        acc = jnp.zeros((m_total + 1, x.shape[1]), dtype=jnp.float32)
+        acc = acc.at[cell_safe].add(
+            jnp.where(node_mask[:, None], x, 0).astype(jnp.float32))
+        cnt = jnp.zeros((m_total + 1,), dtype=jnp.float32).at[cell_safe].add(
+            node_mask.astype(jnp.float32))
+        pooled_x = (acc[:m_total]
+                    / jnp.maximum(cnt[:m_total, None], 1.0)).astype(x.dtype)
     else:
         raise ValueError(aggr)
 

@@ -197,6 +197,8 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
         st = insert_raw(st, chunk(t_base), jnp.ones((n_chunk,)),
                         jnp.int32(n_chunk))
         t_base += 2000
+    st = refresh(st)                      # compile
+    _ = np.asarray(st.h1).ravel()[0]
     t0 = time.perf_counter()
     st = refresh(st)
     _ = np.asarray(st.h1).ravel()[0]
@@ -222,12 +224,37 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
             atimes.append(time.perf_counter() - t0)
     times = np.sort(np.array(times))
     atimes = np.sort(np.array(atimes))
+
+    # device-time estimates: enqueue a run of steps, one final sync — the
+    # per-call timings above pay a ~35-40 ms host round-trip through the
+    # dev tunnel per step, which colocated deployment would not
+    def pipelined(fn, n=20):
+        """fn(state) -> (state, last_output)."""
+        t0 = time.perf_counter()
+        s2 = st
+        last = None
+        for _ in range(n):
+            s2, last = fn(s2)
+        _ = np.asarray(jax.tree.leaves(last)[0]).ravel()[0]
+        return (time.perf_counter() - t0) / n * 1e3
+
+    dev_step = pipelined(lambda s: step(
+        s, chunk(t_base), jnp.ones((n_chunk,)), jnp.int32(n_chunk), boxes,
+        present))
+    dev_append = pipelined(lambda s: (
+        step.append(s, chunk(t_base), jnp.ones((n_chunk,)),
+                    jnp.int32(n_chunk)),) * 2)
+    dev_read = pipelined(lambda s: step.read_scores(s, boxes, present))
+
     return {
         "p50_ms": float(times[len(times) // 2] * 1e3),
         "p99_ms": float(times[int(len(times) * 0.99) - 1] * 1e3),
         "mean_ms": float(times.mean() * 1e3),
         "append_p50_ms": float(atimes[len(atimes) // 2] * 1e3),
         "refresh_ms": refresh_ms,
+        "device_step_ms": dev_step,
+        "device_append_ms": dev_append,
+        "device_read_ms": dev_read,
         "events_per_chunk": n_chunk,
     }
 

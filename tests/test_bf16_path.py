@@ -1,0 +1,55 @@
+"""bfloat16 compute path: same pipeline, bounded deviation from f32.
+
+``compute_dtype="bfloat16"`` casts the frozen feature path (CNN + GNN
+backbone) to bf16 — the batched forward is HBM-bandwidth-bound, so this
+halves the dominant traffic. Geometry (positions, cell assignment, attrs)
+and the trained recurrent head stay f32; this test pins the numeric
+contract: logits close to the f32 path, and the structure (valid slots)
+identical.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eventad_tpu.config import Config
+from eventad_tpu.data.synthetic import make_synthetic_batch
+from eventad_tpu.models.backbone import make_backbone_config
+from eventad_tpu.models.dagr import (graph_static_config, init_model,
+                                     model_forward)
+
+
+def test_bf16_matches_f32_within_tolerance():
+    cfg = Config(batch_size=2, use_image=True, width=96, height=72, scale=1,
+                 event_buckets=(2048,))
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    gsc = graph_static_config(cfg)
+    batch = jax.tree.map(jnp.asarray,
+                         make_synthetic_batch(cfg, boxes_per_item=4))
+
+    out32, _ = jax.jit(lambda p, s, b: model_forward(
+        p, s, b, bc, mc, gsc, img_net=cfg.img_net, training=False))(
+            params, state, batch)
+
+    bc16 = bc._replace(compute_dtype="bfloat16")
+    out16, _ = jax.jit(lambda p, s, b: model_forward(
+        p, s, b, bc16, mc, gsc, img_net=cfg.img_net, training=False))(
+            params, state, batch)
+
+    v32 = np.asarray(out32.valid)
+    v16 = np.asarray(out16.valid)
+    np.testing.assert_array_equal(v32, v16)
+    l32 = np.asarray(out32.logits)[v32]
+    l16 = np.asarray(out16.logits)[v16]
+    assert l16.dtype == np.float32          # head stays f32
+    # bf16 features through 5 conv levels: logits feed a softmax, so the
+    # absolute deviation is what moves scores (|dp| <= |dlogit|/2)
+    assert np.abs(l32 - l16).max() < 0.05, np.abs(l32 - l16).max()
+    # scores must correlate: anomaly ordering is what the metrics use.
+    # At RANDOM init the logit signal is ~0.02 (vs ~0.008 bf16 deviation),
+    # so 0.95 here; a trained head has O(1) logits where the same absolute
+    # deviation is negligible.
+    p32 = jax.nn.softmax(jnp.asarray(l32), axis=-1)[:, 1]
+    p16 = jax.nn.softmax(jnp.asarray(l16), axis=-1)[:, 1]
+    if len(l32) > 2:
+        c = np.corrcoef(np.asarray(p32), np.asarray(p16))[0, 1]
+        assert c > 0.95, c
