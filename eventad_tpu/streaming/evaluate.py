@@ -230,9 +230,9 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
     # dev tunnel per step, which colocated deployment would not
     def pipelined(fn, n=20):
         """fn(state) -> (state, last_output)."""
+        s2, last = fn(st)                 # compile + warm
+        _ = np.asarray(jax.tree.leaves(last)[0]).ravel()[0]
         t0 = time.perf_counter()
-        s2 = st
-        last = None
         for _ in range(n):
             s2, last = fn(s2)
         _ = np.asarray(jax.tree.leaves(last)[0]).ravel()[0]
