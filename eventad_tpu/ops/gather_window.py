@@ -54,10 +54,12 @@ def _gather_kernel(nsub_ref, rel_ref, src_hbm, out_ref, win, sem,
     ids = jax.lax.broadcasted_iota(jnp.int32, (t_rows, k, _SUB), 2)
 
     def dma(slot, s):
-        # sub-block s covers window rows [W - (s+1)*SUB, W - s*SUB)
-        w0 = w_total - (s + 1) * _SUB
+        # sub-block s covers window rows [W - (s+1)*SUB, W - s*SUB);
+        # start is always a multiple of SUB — assert it for Mosaic's
+        # tile-alignment proof (bf16 tiles need it)
+        w0 = pl.multiple_of(base + w_total - (s + 1) * _SUB, _SUB)
         return pltpu.make_async_copy(
-            src_hbm.at[pl.ds(base + w0, _SUB), :], win.at[slot], sem.at[slot])
+            src_hbm.at[pl.ds(w0, _SUB), :], win.at[slot], sem.at[slot])
 
     acc[...] = jnp.zeros_like(acc)
     dma(0, 0).start()
@@ -72,22 +74,27 @@ def _gather_kernel(nsub_ref, rel_ref, src_hbm, out_ref, win, sem,
         dma(slot, s).wait()
         w0 = w_total - (s + 1) * _SUB
         oh = (rel3 == ids + w0).astype(jnp.bfloat16).reshape(t_rows * k, _SUB)
-        w_f32 = win[slot]
-        hi = w_f32.astype(jnp.bfloat16)
-        out = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
-        if parts >= 2:
-            r1 = w_f32 - hi.astype(jnp.float32)
-            lo = r1.astype(jnp.bfloat16)
-            out = out + jnp.dot(oh, lo, preferred_element_type=jnp.float32)
-            if parts >= 3:
-                lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
-                out = out + jnp.dot(oh, lo2,
+        w_src = win[slot]
+        if w_src.dtype == jnp.bfloat16:
+            # bf16 source: the one-hot selection is exact in one pass
+            out = jnp.dot(oh, w_src, preferred_element_type=jnp.float32)
+        else:
+            hi = w_src.astype(jnp.bfloat16)
+            out = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+            if parts >= 2:
+                r1 = w_src - hi.astype(jnp.float32)
+                lo = r1.astype(jnp.bfloat16)
+                out = out + jnp.dot(oh, lo,
                                     preferred_element_type=jnp.float32)
+                if parts >= 3:
+                    lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+                    out = out + jnp.dot(oh, lo2,
+                                        preferred_element_type=jnp.float32)
         acc[...] += out
         return 0
 
     jax.lax.fori_loop(0, n_sub, body, 0)
-    out_ref[...] = acc[...]
+    out_ref[...] = acc[...].astype(out_ref.dtype)
 
 
 def gather_window_rows(src: jnp.ndarray,
@@ -109,7 +116,8 @@ def gather_window_rows(src: jnp.ndarray,
       lookback: window depth; rounded up to a multiple of 128.
       parts: bf16 split depth (2 ~ 2^-16 relative error, 3 ~ exact).
 
-    Returns ``[N, K, C]`` float32 (masked slots zero).
+    Returns ``[N, K, C]`` in ``src.dtype`` (masked slots zero). bf16
+    sources gather exactly in a single matmul pass.
     """
     n, c = src.shape
     k = nbr.shape[1]
@@ -145,7 +153,7 @@ def gather_window_rows(src: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((t * k, _P), lambda i, ns: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, _SUB, _P), jnp.float32),
+            pltpu.VMEM((2, _SUB, _P), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((t * k, _P), jnp.float32),
         ],
@@ -153,7 +161,7 @@ def gather_window_rows(src: jnp.ndarray,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad * k, _P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad * k, _P), src.dtype),
         interpret=interpret,
     )(nsub, rel, src_pad)
     return out.reshape(n_pad, k, _P)[:n, :, :c]
@@ -161,9 +169,8 @@ def gather_window_rows(src: jnp.ndarray,
 
 def gather_rows_auto(src, nbr, nbr_mask, *, lookback: int = 0):
     """Dispatch: windowed Pallas kernel on TPU when a window contract is
-    declared (lookback > 0), plain XLA gather otherwise (the kernel's
-    window DMA and hi/lo split are f32-only)."""
-    if (lookback > 0 and src.dtype == jnp.float32
+    declared (lookback > 0), plain XLA gather otherwise."""
+    if (lookback > 0 and src.dtype in (jnp.float32, jnp.bfloat16)
             and jax.default_backend() == "tpu"):
         return gather_window_rows(src, nbr, nbr_mask, lookback=lookback)
     return jnp.where(nbr_mask[..., None], src[nbr], 0.0)

@@ -39,6 +39,19 @@ def test_gather_window_three_parts_exact(rng):
     np.testing.assert_array_equal(out, want)
 
 
+def test_gather_window_bf16_exact(rng):
+    """bf16 source rows gather exactly (one-hot x bf16 value is exact)."""
+    n, k, c, lb = 300, 16, 21, 128
+    src, nbr, mask = _case(rng, n, k, c, lb)
+    src16 = jnp.asarray(src).astype(jnp.bfloat16)
+    out = np.asarray(gather_window_rows(
+        src16, jnp.asarray(nbr), jnp.asarray(mask),
+        lookback=lb, interpret=True).astype(jnp.float32))
+    want = np.where(mask[..., None],
+                    np.asarray(src16.astype(jnp.float32))[nbr], 0.0)
+    np.testing.assert_array_equal(out, want)
+
+
 def test_gather_window_full_lookback(rng):
     """Neighbours spanning the whole (rounded-up) window depth."""
     n, k, c, lb = 520, 4, 7, 260
