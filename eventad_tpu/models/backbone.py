@@ -24,7 +24,8 @@ from ..ops.norm import (BatchNormParams, BatchNormState, batch_norm,
 from ..ops.pooling import pool_graph
 from ..ops.spline_conv import (SplineConvParams, cartesian_attr,
                                init_spline_conv, spline_conv)
-from .graph import Graph, neighbor_rows, sample_image_features
+from .graph import (Graph, lookup_pixel_features, neighbor_rows,
+                    sample_image_features, upsample_align_corners)
 
 
 # ---------------------------------------------------------------------------
@@ -252,11 +253,32 @@ def backbone_forward(params: BackboneParams,
     dt = (jnp.bfloat16 if bc.compute_dtype == "bfloat16" else jnp.float32)
     g = g0._replace(x=g0.x.astype(dt))
 
+    # levels 0 and 1 both sample at the level-0 event positions; upsample
+    # those two maps to full resolution (static matmuls) and fetch both
+    # feature sets with ONE integer row lookup instead of 8 bilinear tap
+    # gathers at event scale
+    rows01 = None
+    c0 = 0
+    if bc.use_image and start_level == 0:
+        up01 = jnp.concatenate(
+            [upsample_align_corners(image_feats[0].astype(dt), bc.width,
+                                    bc.height),
+             upsample_align_corners(image_feats[1].astype(dt), bc.width,
+                                    bc.height)], axis=-1)
+        c0 = image_feats[0].shape[-1]
+        rows01 = lookup_pixel_features(up01, g0.pos, g0.batch,
+                                       g0.node_mask, bc.width, bc.height)
+
     def cat_image(g, level):
         if not bc.use_image:
             return g
-        f = sample_image_features(image_feats[level], g.pos, g.batch,
-                                  g.node_mask, bc.width, bc.height)
+        if level == 0:
+            f = rows01[:, :c0]
+        elif level == 1 and rows01 is not None:
+            f = rows01[:, c0:]
+        else:
+            f = sample_image_features(image_feats[level], g.pos, g.batch,
+                                      g.node_mask, bc.width, bc.height)
         return g._replace(x=jnp.concatenate([g.x, f.astype(dt)], axis=1))
 
     def cat_rel(g):

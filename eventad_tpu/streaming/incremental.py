@@ -36,7 +36,7 @@ from ..models.backbone import (BackboneConfig, _act, backbone_forward,
 from ..models.dagr import ModelParams, ModelState
 from ..models.eventad import EventADConfig, fusion_forward, spatial_attention
 from ..models.feature_extract import extract_box_features
-from ..models.graph import Graph, sample_image_features
+from ..models.graph import Graph, lookup_pixel_features
 from ..models.gru import gru_step
 from ..ops.event_graph import build_graph_auto
 from ..ops.norm import batch_norm
@@ -98,10 +98,13 @@ def _input_rows(state, posn_rows, pol_rows, valid_rows, bc):
     img1 = jnp.zeros((posn_rows.shape[0], state.img1.shape[1]))
     zeros = jnp.zeros((posn_rows.shape[0],), jnp.int32)
     if bc.use_image:
-        feats.append(sample_image_features(
+        # image_feats[0]/[1] are stored UPSAMPLED to full resolution
+        # (update_image) — feature fetch is one integer row lookup,
+        # identical to the batch path's upsample+lookup
+        feats.append(lookup_pixel_features(
             state.image_feats[0], posn_rows, zeros, valid_rows, bc.width,
             bc.height))
-        img1 = sample_image_features(
+        img1 = lookup_pixel_features(
             state.image_feats[1], posn_rows, zeros, valid_rows, bc.width,
             bc.height)
     feats.append(jnp.where(valid_rows[:, None], posn_rows[:, :2], 0.0))
@@ -307,8 +310,17 @@ def insert_raw(state: IncrementalState, pos_rows, pol_rows,
 
 def update_image(params: ModelParams, mstate: ModelState,
                  state: IncrementalState, image,
-                 img_net: str = "resnet50") -> IncrementalState:
+                 img_net: str = "resnet50",
+                 width: int = None, height: int = None) -> IncrementalState:
+    from ..models.graph import upsample_align_corners
     from ..models.resnet import cnn_branch_forward
     feats, _, _ = cnn_branch_forward(params.dagr.cnn, mstate.dagr.cnn,
                                      image[None], img_net, training=False)
+    w = width if width is not None else image.shape[1]
+    h = height if height is not None else image.shape[0]
+    # maps 0/1 are consumed at event positions every chunk: store them
+    # upsampled to full resolution so the fetch is an integer row lookup
+    feats = list(feats)
+    feats[0] = upsample_align_corners(feats[0], w, h)
+    feats[1] = upsample_align_corners(feats[1], w, h)
     return state._replace(image_feats=tuple(feats))

@@ -38,6 +38,33 @@ def test_sampling_matches_naive(rng):
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
 
 
+def test_upsample_lookup_matches_bilinear(rng):
+    """upsample_align_corners + integer lookup at pixel-aligned positions
+    == direct bilinear sampling of the low-res map (the batch path's
+    gather-free image-feature fetch)."""
+    from eventad_tpu.models.graph import (lookup_pixel_features,
+                                          upsample_align_corners)
+    b, hp, wp, c = 2, 12, 18, 5
+    w_full, h_full = 36, 24
+    feat = rng.randn(b, hp, wp, c).astype(np.float32)
+    # pixel-aligned normalized positions (the event/pooled position form)
+    xi = rng.randint(0, w_full, 300)
+    yi = rng.randint(0, h_full, 300)
+    pos = np.stack([xi / w_full, yi / h_full,
+                    np.zeros(300)], axis=1).astype(np.float32)
+    batch = rng.randint(0, b, 300).astype(np.int32)
+    mask = rng.rand(300) > 0.1
+    up = upsample_align_corners(jnp.asarray(feat), w_full, h_full)
+    got = np.asarray(lookup_pixel_features(
+        up, jnp.asarray(pos), jnp.asarray(batch), jnp.asarray(mask),
+        w_full, h_full))
+    want = np.asarray(sample_image_features(
+        jnp.asarray(feat), jnp.asarray(pos), jnp.asarray(batch),
+        jnp.asarray(mask), w_full, h_full))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert (got[~mask] == 0).all()
+
+
 def test_sampling_edge_positions(rng):
     """positions at the exact right/bottom borders (last column/row taps)."""
     b, hp, wp, c = 1, 6, 8, 3
