@@ -75,37 +75,19 @@ def pool_graph(x: jnp.ndarray,
     cell = batch * ncells + iy * nx + ix                       # [N]
     cell_safe = jnp.where(node_mask, cell, m_total)            # overflow row
 
-    # ---- feature aggregation (pooling.py:74-77) ----
-    if aggr == "max":
-        acc = jnp.full((m_total + 1, x.shape[1]), -jnp.inf, dtype=x.dtype)
-        xin = jnp.where(node_mask[:, None], x, -jnp.inf)
-        acc = acc.at[cell_safe].max(xin)
-        pooled_x = acc[:m_total]
-        pooled_x = jnp.where(jnp.isfinite(pooled_x), pooled_x, 0.0)
-    elif aggr == "mean":
-        # sums/counts in f32 (a bf16 accumulator loses integers above 256)
-        acc = jnp.zeros((m_total + 1, x.shape[1]), dtype=jnp.float32)
-        acc = acc.at[cell_safe].add(
-            jnp.where(node_mask[:, None], x, 0).astype(jnp.float32))
-        cnt = jnp.zeros((m_total + 1,), dtype=jnp.float32).at[cell_safe].add(
-            node_mask.astype(jnp.float32))
-        pooled_x = (acc[:m_total]
-                    / jnp.maximum(cnt[:m_total, None], 1.0)).astype(x.dtype)
-    else:
+    # ---- one combined ADD-scatter row per node: [pos(3) | count(1) |
+    # (mean features) | adjacency bitmap] — TPU scatters are per-index
+    # bound, so everything additive rides a single row scatter; only the
+    # feature MAX needs its own op ----
+    mean_feats = aggr == "mean"
+    if aggr not in ("max", "mean"):
         raise ValueError(aggr)
 
-    # ---- position: member mean, then x/y snapped to the pixel grid ----
-    psum = jnp.zeros((m_total + 1, 3), dtype=pos.dtype).at[cell_safe].add(
-        jnp.where(node_mask[:, None], pos, 0.0))
-    pcnt = jnp.zeros((m_total + 1,), dtype=pos.dtype).at[cell_safe].add(
-        node_mask.astype(pos.dtype))
-    pooled_pos = psum[:m_total] / jnp.maximum(pcnt[:m_total, None], 1.0)
-    pooled_pos = pooled_pos.at[:, 0].set(
-        _round_to_pixel(pooled_pos[:, 0], width))
-    pooled_pos = pooled_pos.at[:, 1].set(
-        _round_to_pixel(pooled_pos[:, 1], height))
-
-    active = pcnt[:m_total] > 0
+    add_parts = [jnp.where(node_mask[:, None], pos, 0.0).astype(jnp.float32),
+                 node_mask[:, None].astype(jnp.float32)]
+    if mean_feats:
+        add_parts.append(
+            jnp.where(node_mask[:, None], x, 0).astype(jnp.float32))
 
     # ---- pooled adjacency bitmap ----
     if pos_src is not None:
@@ -131,17 +113,43 @@ def pool_graph(x: jnp.ndarray,
     e_ok = e_ok & in_span & not_self
     rel_idx = (rel_y + span) * side + (rel_x + span)
     rel_idx = jnp.clip(rel_idx, 0, side * side - 1)
-    # per-node one-hot rows, then ONE row-scatter per node (element-wise
-    # scatters cost a full tile per index on TPU)
+    # per-node one-hot rows folded into the combined row scatter below
     node_counts = jnp.zeros((n, side * side), dtype=jnp.float32)
     for k in range(nbr.shape[1]):
         node_counts = node_counts + jnp.where(
             e_ok[:, k:k + 1],
             jax.nn.one_hot(rel_idx[:, k], side * side, dtype=jnp.float32),
             0.0)
-    cell_counts = jnp.zeros((m_total + 1, side * side), jnp.float32) \
-        .at[cell_safe].add(node_counts)
-    exist = cell_counts[:m_total] > 0
+    add_parts.append(node_counts)
+
+    # ---- the single combined add-scatter ----
+    add_rows = jnp.concatenate(add_parts, axis=1)
+    acc = jnp.zeros((m_total + 1, add_rows.shape[1]), jnp.float32) \
+        .at[cell_safe].add(add_rows)
+    psum = acc[:m_total, :3]
+    pcnt = acc[:m_total, 3]
+    col = 4
+    if mean_feats:
+        fsum = acc[:m_total, col:col + x.shape[1]]
+        col += x.shape[1]
+    cell_counts = acc[:m_total, col:col + side * side]
+    exist = cell_counts > 0
+
+    pooled_pos = (psum / jnp.maximum(pcnt[:, None], 1.0)).astype(pos.dtype)
+    pooled_pos = pooled_pos.at[:, 0].set(
+        _round_to_pixel(pooled_pos[:, 0], width))
+    pooled_pos = pooled_pos.at[:, 1].set(
+        _round_to_pixel(pooled_pos[:, 1], height))
+    active = pcnt > 0
+
+    if mean_feats:
+        pooled_x = (fsum / jnp.maximum(pcnt[:, None], 1.0)).astype(x.dtype)
+    else:
+        accm = jnp.full((m_total + 1, x.shape[1]), -jnp.inf, dtype=x.dtype)
+        xin = jnp.where(node_mask[:, None], x, -jnp.inf)
+        accm = accm.at[cell_safe].max(xin)
+        pooled_x = accm[:m_total]
+        pooled_x = jnp.where(jnp.isfinite(pooled_x), pooled_x, 0.0)
 
     # neighbour indices decoded arithmetically from the bitmap slots
     cells = jnp.arange(m_total, dtype=jnp.int32)
