@@ -22,8 +22,8 @@ from ..config import Config
 from ..ops.norm import (BatchNormParams, BatchNormState, batch_norm,
                         init_batch_norm)
 from ..ops.pooling import pool_graph
-from ..ops.spline_conv import (SplineConvParams, cartesian_attr,
-                               init_spline_conv, spline_conv)
+from ..ops.spline_conv import (SplineConvParams, init_spline_conv,
+                               spline_conv)
 from .graph import (Graph, lookup_pixel_features, neighbor_rows,
                     sample_image_features, upsample_align_corners)
 

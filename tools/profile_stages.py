@@ -35,7 +35,9 @@ def main():
 
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    cfg = Config(batch_size=6, use_image=True, event_buckets=(n_events,))
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    cfg = Config(batch_size=6, use_image=True, event_buckets=(n_events,),
+                 compute_dtype=dtype)
     params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
     gsc = graph_static_config(cfg)
     batch = jax.tree.map(jnp.asarray,
