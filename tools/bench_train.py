@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Training-step throughput at the flagship operating point (one chip).
+
+Head-only gradients, frozen DAGR (the reference's training regime).
+Usage: python tools/bench_train.py [n_events] [iters]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from eventad_tpu.utils.jaxtools import setup_compilation_cache
+setup_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from eventad_tpu.config import Config
+    from eventad_tpu.data.synthetic import make_synthetic_batch
+    from eventad_tpu.models.dagr import graph_static_config, init_model
+    from eventad_tpu.parallel.train_step import (make_optimizer,
+                                                 make_train_fns)
+
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    cfg = Config(batch_size=6, use_image=True, event_buckets=(n_events,))
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    gsc = graph_static_config(cfg)
+    batch = jax.tree.map(jnp.asarray,
+                         make_synthetic_batch(cfg, boxes_per_item=6))
+    opt = make_optimizer(1e-3, 1e-5, 1.0)
+    opt_state = opt.init(params.head)
+    fns = make_train_fns(cfg, bc, mc, gsc, opt)
+    rng = jax.random.PRNGKey(1)
+
+    def run(p, s, o):
+        return fns.train_step(p, s, o, batch, rng)
+
+    p, s, o, m = run(params, state, opt_state)     # compile
+    np.asarray(m["loss"])
+    for _ in range(3):
+        p, s, o, m = run(p, s, o)
+    np.asarray(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, s, o, m = run(p, s, o)
+    np.asarray(m["loss"])                           # one final sync
+    dt = (time.perf_counter() - t0) / iters
+    print(f"train step: {dt*1e3:.2f} ms/batch, "
+          f"{cfg.batch_size/dt:.1f} items/s pipelined")
+
+
+if __name__ == "__main__":
+    main()
