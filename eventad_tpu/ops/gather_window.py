@@ -166,10 +166,36 @@ def gather_window_rows(src: jnp.ndarray,
     return out.reshape(n_pad, k, _P)[:n, :, :c]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_window_diff(src, nbr, nbr_mask, lookback, interpret=False):
+    return gather_window_rows(src, nbr, nbr_mask, lookback=lookback,
+                              interpret=interpret)
+
+
+def _gather_window_fwd(src, nbr, nbr_mask, lookback, interpret=False):
+    out = gather_window_rows(src, nbr, nbr_mask, lookback=lookback,
+                             interpret=interpret)
+    return out, (nbr, nbr_mask, jax.ShapeDtypeStruct(src.shape, src.dtype))
+
+
+def _gather_window_bwd(lookback, interpret, res, g):
+    # the gather is linear in src: transpose = masked row scatter-add
+    # (pallas_call has no autodiff rule; the detector trains THROUGH the
+    # backbone, unlike the frozen-DAGR anomaly path)
+    nbr, nbr_mask, src_sds = res
+    gm = jnp.where(nbr_mask[..., None], g, 0).astype(src_sds.dtype)
+    d_src = jnp.zeros(src_sds.shape, src_sds.dtype).at[nbr].add(gm)
+    return d_src, None, None
+
+
+_gather_window_diff.defvjp(_gather_window_fwd, _gather_window_bwd)
+
+
 def gather_rows_auto(src, nbr, nbr_mask, *, lookback: int = 0):
     """Dispatch: windowed Pallas kernel on TPU when a window contract is
-    declared (lookback > 0), plain XLA gather otherwise."""
+    declared (lookback > 0), plain XLA gather otherwise. Differentiable in
+    ``src`` (custom VJP — the transpose is a masked row scatter-add)."""
     if (lookback > 0 and src.dtype in (jnp.float32, jnp.bfloat16)
             and jax.default_backend() == "tpu"):
-        return gather_window_rows(src, nbr, nbr_mask, lookback=lookback)
+        return _gather_window_diff(src, nbr, nbr_mask, lookback)
     return jnp.where(nbr_mask[..., None], src[nbr], 0.0)

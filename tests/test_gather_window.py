@@ -52,6 +52,30 @@ def test_gather_window_bf16_exact(rng):
     np.testing.assert_array_equal(out, want)
 
 
+def test_gather_window_gradient(rng):
+    """The custom VJP (masked row scatter-add) == the XLA gather's grad —
+    the detector trains through the backbone, so the kernel must be
+    differentiable in src."""
+    import jax
+    from eventad_tpu.ops.gather_window import _gather_window_diff
+
+    n, k, c, lb = 160, 8, 10, 128
+    src, nbr, mask = _case(rng, n, k, c, lb)
+    args = (jnp.asarray(src), jnp.asarray(nbr), jnp.asarray(mask))
+    w = jnp.asarray(rng.randn(n, k, c).astype(np.float32))
+
+    def loss_kernel(s):
+        return jnp.sum(_gather_window_diff(s, args[1], args[2], lb, True)
+                       * w)
+
+    def loss_xla(s):
+        return jnp.sum(jnp.where(args[2][..., None], s[args[1]], 0.0) * w)
+
+    g_kernel = np.asarray(jax.grad(loss_kernel)(args[0]))
+    g_xla = np.asarray(jax.grad(loss_xla)(args[0]))
+    np.testing.assert_allclose(g_kernel, g_xla, rtol=1e-4, atol=1e-5)
+
+
 def test_gather_window_full_lookback(rng):
     """Neighbours spanning the whole (rounded-up) window depth."""
     n, k, c, lb = 520, 4, 7, 260
