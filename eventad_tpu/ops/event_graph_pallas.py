@@ -33,15 +33,17 @@ _INVALID = np.int32(2**31 - 1)
 _LANES = 128
 
 
-def _select_kernel(lmax_ref, x_ref, y_ref, t_ref, rk_ref,
+def _select_kernel(lmax_ref, pix_ref, t_ref, rk_ref,
                    d_out_ref, *, lookback, chunk, k_pad,
                    radius, delta_t_us, q_cap):
     """Refs: windows ``[W, 128]`` (W = lookback + chunk, lanes = chunks);
+    ``pix = y * 2^15 + x`` packed (one window array instead of two);
     outputs ``[k_pad, chunk, 128]`` (selected offsets + found mask)."""
     l, cs = lookback, chunk
     pid = pl.program_id(0)
-    xi = x_ref[l:l + cs, :]
-    yi = y_ref[l:l + cs, :]
+    pxi = pix_ref[l:l + cs, :]
+    xi = pxi & 0x7FFF
+    yi = pxi >> 15
     ti = t_ref[l:l + cs, :]
     rki = rk_ref[l:l + cs, :]
 
@@ -58,14 +60,14 @@ def _select_kernel(lmax_ref, x_ref, y_ref, t_ref, rk_ref,
         d0 = 1 + d_block * m
         # one 8-aligned dynamic slab covers offsets d0 .. d0+7
         s0 = l - d0 - (d_block - 1)
-        xs_b = x_ref[pl.ds(s0, cs + d_block), :]
-        ys_b = y_ref[pl.ds(s0, cs + d_block), :]
+        ps_b = pix_ref[pl.ds(s0, cs + d_block), :]
         ts_b = t_ref[pl.ds(s0, cs + d_block), :]
         rs_b = rk_ref[pl.ds(s0, cs + d_block), :]
         for k in range(d_block):      # static sub-slices of the slab
             d = d0 + (d_block - 1 - k)
-            dx = xs_b[k:k + cs, :] - xi
-            dy = ys_b[k:k + cs, :] - yi
+            ps = ps_b[k:k + cs, :]
+            dx = (ps & 0x7FFF) - xi
+            dy = (ps >> 15) - yi
             ts = ts_b[k:k + cs, :]
             rs = rs_b[k:k + cs, :]
             ok = ((jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
@@ -123,9 +125,9 @@ def build_graph_pallas(pos: jnp.ndarray,
     x = pos[:, :, 0]
     y = pos[:, :, 1]
     t = pos[:, :, 2]
+    pix = y * jnp.int32(1 << 15) + x      # one packed window array
     if ranks is None:   # in-graph fallback (streaming path); the batch
         # pipeline precomputes ranks on the host (native evio)
-        pix = y * jnp.int32(2**15) + x
         ranks = jax.vmap(queue_rank)(pix, valid)
     # encode: valid events clip to [0, Q] (>= Q means evicted from the queue
     # but still a legal destination); Q+1 marks invalid/padded slots
@@ -156,8 +158,7 @@ def build_graph_pallas(pos: jnp.ndarray,
         return jnp.pad(wins, ((0, 0), (0, p_pad - p_total)),
                        constant_values=fill)     # [W, p_pad]
 
-    xw = to_lanes(x, 0)
-    yw = to_lanes(y, 0)
+    pw = to_lanes(pix, 0)
     tw = to_lanes(t, 0)
     rw = to_lanes(ranks, big)
 
@@ -195,7 +196,7 @@ def build_graph_pallas(pos: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_programs,),
         in_specs=[pl.BlockSpec((w, _LANES), lambda pi, lm: (0, pi))
-                  for _ in range(4)],
+                  for _ in range(3)],
         out_specs=pl.BlockSpec((k_pad, chunk, _LANES),
                                lambda pi, lm: (0, 0, pi)),
     )
@@ -204,7 +205,7 @@ def build_graph_pallas(pos: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k_pad, chunk, p_pad), jnp.int32),
         interpret=interpret,
-    )(lmax, xw, yw, tw, rw)
+    )(lmax, pw, tw, rw)
 
     # [k_pad, chunk, p_pad] -> [B, n_pad, k_other]
     d_sel = d_sel[:k_other, :, :p_total].transpose(2, 1, 0) \
