@@ -201,6 +201,15 @@ def cnn_head_forward(params, state, feats: Sequence[jnp.ndarray],
         f = jax.image.resize(f, (f.shape[0], ny, nx, f.shape[3]),
                              method="nearest")
         sp, ss = params["scales"][i], state["scales"][i]
+        if f.dtype != jnp.float32:
+            if training:
+                # batch-stat BN updates stay f32; upcast the features
+                f = f.astype(jnp.float32)
+            else:
+                cast = lambda a: (a.astype(f.dtype)
+                                  if a.dtype == jnp.float32 else a)
+                sp = jax.tree.map(cast, sp)
+                ss = jax.tree.map(cast, ss)
         nss = {}
         h, nss["stem"] = _base_conv(f, sp["stem"], ss["stem"], training)
         c, nss["cls1"] = _base_conv(h, sp["cls1"], ss["cls1"], training)
