@@ -224,10 +224,10 @@ class Loader:
     optional multi-process decode (replaces torch ``DataLoader`` with
     ``num_workers=4``, reference config/eventad_config.py:121).
 
-    ``num_workers >= 2`` forks that many decode processes, each handling
-    every ``num_workers``-th batch (decode + collate); the parent reorders
-    and yields in batch order. Forked children drop inherited h5 handles and
-    reopen their own (h5py handles must not be shared across processes).
+    ``num_workers >= 2`` spawns a persistent pool of decode processes
+    (decode + collate per batch, results via shared-memory slots); the
+    parent reorders and yields in batch order. The dataset pickles with
+    its h5 handles dropped and each worker reopens its own.
     """
 
     def __init__(self, dataset, cfg: Config, shuffle: bool = False,
