@@ -94,6 +94,7 @@ def main():
 
     fps = n_boxes * iters / dt
     per_batch_ms = dt / iters * 1e3
+    device_ms = dt_pipe / iters * 1e3
     result = {
         "metric": "inference_bboxes_per_sec",
         "value": round(fps, 2),
@@ -105,6 +106,11 @@ def main():
                                        / BASELINE_FPS, 3),
         "events_per_item": n_events,
         "frames_per_sec": round(cfg.batch_size * iters / dt, 2),
+        # sync-number decomposition: per-call time = device time + host
+        # round-trip; the RTT term is the axon tunnel's (32-50 ms, +-40%
+        # between processes) and is NOT controllable from this repo
+        "device_ms_per_batch": round(device_ms, 2),
+        "est_rtt_ms": round(max(per_batch_ms - device_ms, 0.0), 2),
     }
     # roofline view: use the pipelined per-batch time (pure device time,
     # no host round-trip) as the denominator

@@ -35,8 +35,9 @@ def main():
 
     @jax.jit
     def fwd(params, state, batch):
+        # inference throughput: eval mode (running-stats BN, bf16 CNN head)
         dets, decoded, _ = detector_forward(params, state, batch, cfg, bc,
-                                            training=True)
+                                            training=False)
         return dets["scores"], dets["mask"]
 
     def sync(out):

@@ -53,7 +53,13 @@ class BatchMeta:
     truncated_events: int = 0
 
 
-def _batch_specs(cfg, n_cap: int, d: int = 64):
+# raw-detection slots per item; single source of truth for both the batch
+# arrays (collate) and the shared-memory slot layout (_batch_specs) — the
+# two desynchronizing would shape-mismatch np.copyto in the decode workers
+MAX_DETECTIONS = 64
+
+
+def _batch_specs(cfg, n_cap: int, d: int = MAX_DETECTIONS):
     """(field, dtype, shape) of every EventBatch array at a given bucket."""
     b, s = cfg.batch_size, cfg.max_boxes + 1
     h, w = cfg.model_height, cfg.model_width
@@ -126,10 +132,16 @@ def _decode_worker(ds, cfg, shm_names, taskq, freeq, outq):
                 items = [ds[int(j)] for j in idx]
                 batch, meta = collate(items, cfg)
                 slot = freeq.get()
-                views = _slot_views(shms[slot].buf, layout,
-                                    batch.pos.shape[1])
-                for name, arr in batch._asdict().items():
-                    np.copyto(views[name], arr)
+                try:
+                    views = _slot_views(shms[slot].buf, layout,
+                                        batch.pos.shape[1])
+                    for name, arr in batch._asdict().items():
+                        np.copyto(views[name], arr)
+                except BaseException:
+                    # never leak the slot: a copy failure would otherwise
+                    # permanently shrink the pool
+                    freeq.put(slot)
+                    raise
                 outq.put((ep, i, slot, batch.pos.shape[1], meta))
             except BaseException as e:
                 outq.put((ep, None, 0, 0, e))
@@ -163,7 +175,7 @@ def _slot_boxes(bbox: np.ndarray, max_boxes: int):
 
 
 def collate(items: List[Item], cfg: Config,
-            max_detections: int = 64) -> tuple:
+            max_detections: int = MAX_DETECTIONS) -> tuple:
     """Pads a list of Items into an EventBatch + BatchMeta."""
     bsz = cfg.batch_size
     s = cfg.max_boxes + 1
@@ -393,6 +405,7 @@ class Loader:
         for i in range(n_batches):
             pool["taskq"].put((ep, i,
                                [int(j) for j in self._chunk(order, i)]))
+        import queue as _queue
         pending: dict = {}
         nxt = 0
         while nxt < n_batches:
@@ -400,7 +413,17 @@ class Loader:
                 yield pending.pop(nxt)
                 nxt += 1
                 continue
-            rep, i, slot, n_cap, meta = pool["outq"].get()
+            try:
+                rep, i, slot, n_cap, meta = pool["outq"].get(timeout=30)
+            except _queue.Empty:
+                # liveness check: a worker killed by the OS (OOM) would
+                # otherwise block the consumer forever
+                dead = [p for p in pool["procs"] if not p.is_alive()]
+                if dead:
+                    raise RuntimeError(
+                        f"{len(dead)} decode worker(s) died "
+                        f"(exitcodes {[p.exitcode for p in dead]})")
+                continue
             if i is None:
                 if rep == ep:
                     raise meta

@@ -87,12 +87,28 @@ def init_layer(key, cin: int, cout: int, kernel_size: int) -> tuple:
     return params, state
 
 
+def level0_attr_range(bc: "BackboneConfig"):
+    """Static level-0 attr bounds from the graph contract: every edge's
+    pixel offset satisfies ``|dx|,|dy| <= radius_px`` (the search kernel's
+    square cutoff), so the Cartesian attrs lie in a narrow band around 0.5.
+    With dagr-S geometry (radius 4 px, cart_max 1/36, 360x240) the spline
+    contraction provably touches only a 3x5 tap sub-rectangle of the 5x5
+    kernel.  Returns None when no radius is declared."""
+    if bc.radius_px <= 0:
+        return None
+    sx = bc.radius_px / bc.width / (2.0 * bc.cart_max[0])
+    sy = bc.radius_px / bc.height / (2.0 * bc.cart_max[0])
+    return ((0.5 - sx, 0.5 + sx), (0.5 - sy, 0.5 + sy))
+
+
 def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 attr: jnp.ndarray = None, *, kernel_size: int, aggr: str,
                 activation, training: bool, cart_max: float = None,
                 return_pos_nbr: bool = False, grid=None,
                 batch_size: int = None, span: int = 2,
-                gather_lookback: int = 0):
+                gather_lookback: int = 0,
+                attr_range=None, self_slot0: bool = False,
+                width: int = None, height: int = None):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -105,17 +121,31 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     With ``grid`` (pooled levels), neighbour rows come from dense 2-D
     shifts of the cell table (:func:`neighbor_rows`) instead of gathers —
     the neighbour table at pooled levels is arithmetic offsets, so the
-    rows are contiguous slices."""
+    rows are contiguous slices.
+
+    ``self_slot0``: slot 0 of ``g.nbr`` is the self edge (level-0 layout,
+    ev_graph.cu:44-46) whose attr is exactly 0.5; with sum aggregation its
+    kernel contribution is the constant center matrix, folded into the conv
+    root matmuls so the gather/contraction run on K-1 slots.  The returned
+    ``pos_nbr`` (and the matching neighbour columns a downstream pooling
+    must use) then exclude slot 0 — harmless, pooling drops self edges
+    anyway (reference pooling.py:62)."""
     x_in = g.x
     pos_nbr = None
     x_j1 = None
     dt = x_in.dtype
+    fold_self = self_slot0 and aggr == "sum"
+    s0 = 1 if fold_self else 0
+    nbr = g.nbr[:, s0:]
+    nbr_mask = g.nbr_mask[:, s0:]
+    if attr is not None and s0:
+        attr = attr[:, s0:]
 
     def rows_of(src):
         if grid is not None:
             return neighbor_rows(src, grid, batch_size, span)
         from ..ops.gather_window import gather_rows_auto
-        return gather_rows_auto(src, g.nbr, g.nbr_mask,
+        return gather_rows_auto(src, nbr, nbr_mask,
                                 lookback=gather_lookback)
 
     if dt != jnp.float32:
@@ -123,7 +153,41 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
         params = jax.tree.map(
             lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
 
-    if attr is None:
+    # fused Pallas path (bf16 inference on TPU): gather + basis + z +
+    # kernel matmul in one VMEM kernel per conv block; root/bias/BN/act
+    # stay in XLA.  Window contract: level 0 from the event-graph lookback;
+    # pooled levels from the grid ordering (neighbour cells are within
+    # +-(span*nx+span) rows of the cell table).
+    use_fused = (dt == jnp.bfloat16 and not training and aggr == "sum"
+                 and jax.default_backend() == "tpu"
+                 and (grid is not None
+                      or (gather_lookback > 0 and g.off is not None)))
+
+    if attr is None and g.off is not None and grid is None \
+            and width is not None:
+        # level 0 with decoded spiral offsets: attrs AND source positions
+        # are arithmetic from the per-edge integer pixel offset — the
+        # gather fetches features only, and the pooling's source-cell
+        # positions are exact (ipos - off is the true integer source pixel;
+        # its normalization is bitwise the same division the batch
+        # normalizer applied to the source row)
+        from ..ops.spline_conv import offset_attr
+        offk = g.off[:, s0:]
+        attr = offset_attr(offk, nbr_mask, cart_max, width, height)
+        if not use_fused:
+            x_j1 = rows_of(x_in).astype(dt)
+        if return_pos_nbr:
+            wh = jnp.asarray([width, height], jnp.float32)
+            ipos = jnp.round(g.pos[:, :2] * wh).astype(jnp.int32)
+            pos_nbr = (ipos[:, None, :] - offk).astype(jnp.float32) / wh
+    elif attr is None and use_fused:
+        # pooled fused level: only positions are needed host-side (dense
+        # shifts); features are gathered inside the kernel
+        pos_nbr = neighbor_rows(g.pos[:, :2], grid, batch_size, span)
+        a = (g.pos[:, None, :2] - pos_nbr) / (2.0 * cart_max) + 0.5
+        a = jnp.clip(a, 0.0, 1.0)
+        attr = jnp.where(nbr_mask[..., None], a, 0.5)
+    elif attr is None:
         # combined row fetch stays f32 (gather cost is index-dominated, and
         # positions must stay exact — cell assignment & attrs derive from
         # them); features cast to the compute dtype afterwards
@@ -134,20 +198,53 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
         x_j1 = rows[..., 2:].astype(dt)
         a = (g.pos[:, None, :2] - pos_nbr) / (2.0 * cart_max) + 0.5
         a = jnp.clip(a, 0.0, 1.0)
-        attr = jnp.where(g.nbr_mask[..., None], a, 0.5)
+        attr = jnp.where(nbr_mask[..., None], a, 0.5)
+    attr_f32 = attr
     attr = attr.astype(dt)
+
+    if use_fused:
+        from ..ops.spline_conv import center_index, tap_ranges
+        from ..ops.spline_fused import (fused_spline_conv_prepared,
+                                        prepare_fused)
+        if grid is not None:
+            halo = span * grid[0] + span
+            lb, lf = halo, halo
+        else:
+            lb, lf = gather_lookback, 0
+        ranges = (tap_ranges(kernel_size, attr_range) if attr_range
+                  else ((0, kernel_size - 1), (0, kernel_size - 1)))
+        u = jnp.clip(attr_f32.astype(jnp.float32), 0.0, 1.0) \
+            * (kernel_size - 1)
+        prep = prepare_fused(nbr, nbr_mask, u, lookback=lb, lookahead=lf)
+
+        def conv_block(src, p, xj_unused):
+            conv = fused_spline_conv_prepared(
+                src, prep, p.weight, kernel_size=kernel_size,
+                ranges=ranges)
+            root = p.root
+            if fold_self:
+                root = root + p.weight[center_index(kernel_size)]
+            out = conv + (src @ root).astype(jnp.float32)
+            if p.bias is not None:
+                out = out + p.bias
+            return jnp.where(g.node_mask[:, None], out, 0.0).astype(dt)
+    else:
+        def conv_block(src, p, xj):
+            return spline_conv(src, nbr, nbr_mask, attr, p,
+                               kernel_size=kernel_size, aggr=aggr,
+                               node_mask=g.node_mask, x_j=xj,
+                               attr_range=attr_range,
+                               add_center_to_root=fold_self)
+
     # ConvBlock 1: conv -> bn -> act
-    h = spline_conv(x_in, g.nbr, g.nbr_mask, attr, params.block1.conv,
-                    kernel_size=kernel_size, aggr=aggr,
-                    node_mask=g.node_mask, x_j=x_j1)
+    h = conv_block(x_in, params.block1.conv, x_j1)
     h, bn1 = batch_norm(h, g.node_mask, params.block1.bn, state.block1.bn,
                         training=training)
     h = activation(h)
     h = jnp.where(g.node_mask[:, None], h, 0.0)
     # ConvBlockWithSkip: conv(h) + bn ; skip = bn(lin(x_in)) ; act(sum)
-    h2 = spline_conv(h, g.nbr, g.nbr_mask, attr, params.block2.conv,
-                     kernel_size=kernel_size, aggr=aggr,
-                     node_mask=g.node_mask, x_j=rows_of(h))
+    h2 = conv_block(h, params.block2.conv,
+                    None if use_fused else rows_of(h))
     h2, bn2 = batch_norm(h2, g.node_mask, params.block2.bn, state.block2.bn,
                          training=training)
     skip = x_in @ params.skip_lin + params.skip_lin_bias
@@ -182,6 +279,9 @@ class BackboneConfig(NamedTuple):
     # level-0 neighbour-window depth (the event-graph contract); enables the
     # Pallas windowed row-gather on TPU. 0 = plain XLA gather.
     gather_lookback: int = 0
+    # pixel radius of the level-0 graph (search-kernel square cutoff); bounds
+    # the level-0 attrs statically -> kernel-tap sub-range (level0_attr_range)
+    radius_px: int = 0
     # activation/weight dtype of the frozen feature path ("float32" or
     # "bfloat16"); the forward is HBM-bandwidth-bound, so bf16 halves the
     # dominant traffic. Positions, BN statistics and the recurrent head
@@ -203,7 +303,7 @@ def make_backbone_config(cfg: Config) -> BackboneConfig:
         activation=cfg.activation, pooling_aggr=cfg.pooling_aggr,
         keep_temporal_ordering=cfg.keep_temporal_ordering,
         use_image=cfg.use_image, gather_lookback=cfg.graph_lookback,
-        compute_dtype=cfg.compute_dtype)
+        radius_px=cfg.radius_px, compute_dtype=cfg.compute_dtype)
 
 
 def layer_in_out_channels(bc: BackboneConfig):
@@ -234,7 +334,8 @@ def backbone_forward(params: BackboneParams,
                      bc: BackboneConfig,
                      *,
                      training: bool = False,
-                     start_level: int = 0):
+                     start_level: int = 0,
+                     pos_src0=None):
     """Runs the 5-block pyramid.
 
     Args:
@@ -287,7 +388,11 @@ def backbone_forward(params: BackboneParams,
         return g._replace(x=jnp.concatenate([g.x, rel.astype(dt)], axis=1))
 
     outs = []
-    pos_nbr = None   # gathered source positions of the previous layer
+    # source positions feeding the next pooling's cell assignment; when
+    # resuming (start_level>0) the caller may supply them for the first
+    # pooling (``pos_src0``, e.g. exact offsets cached by the streaming
+    # path) — None falls back to pool_graph's index-gather derivation
+    pos_nbr = pos_src0
     for level in range(start_level, 5):
         if level > 0:
             # next level's CNN features are appended at the *previous* level's
@@ -295,8 +400,14 @@ def backbone_forward(params: BackboneParams,
             if level > start_level:
                 g = cat_image(g, level)
             aggr = "mean" if level == 4 else bc.pooling_aggr  # net.py:94
+            # when the previous level folded out the self edge, pos_src has
+            # K-1 columns; pass the matching neighbour columns (the dropped
+            # slot is the self edge, which pooling discards anyway)
+            s0 = (g.nbr.shape[1] - pos_nbr.shape[1]
+                  if pos_nbr is not None else 0)
             pooled = pool_graph(
-                g.x, g.pos, g.nbr, g.nbr_mask, g.node_mask, g.batch,
+                g.x, g.pos, g.nbr[:, s0:], g.nbr_mask[:, s0:], g.node_mask,
+                g.batch,
                 grid=bc.grids[level - 1], batch_size=bc.batch_size,
                 width=bc.width, height=bc.height, aggr=aggr,
                 span=2, keep_temporal_ordering=bc.keep_temporal_ordering,
@@ -313,7 +424,9 @@ def backbone_forward(params: BackboneParams,
             return_pos_nbr=True,
             grid=bc.grids[level - 1] if level > 0 else None,
             batch_size=bc.batch_size,
-            gather_lookback=bc.gather_lookback if level == 0 else 0)
+            gather_lookback=bc.gather_lookback if level == 0 else 0,
+            attr_range=level0_attr_range(bc) if level == 0 else None,
+            self_slot0=level == 0, width=bc.width, height=bc.height)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)

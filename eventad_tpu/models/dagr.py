@@ -80,10 +80,10 @@ def build_level0_graph(pos: jnp.ndarray,       # [B, N, 3] int32
      time_window) = cfg_static
     b, n, _ = pos.shape
     from ..ops.event_graph import build_graph_auto
-    nbr, nbrm = build_graph_auto(pos, valid, ranks, radius=radius_px,
-                                 delta_t_us=delta_t_us, max_neighbors=max_nb,
-                                 max_queue_size=max_q,
-                                 lookback=min(lookback, n))
+    nbr, nbrm, doff = build_graph_auto(
+        pos, valid, ranks, radius=radius_px, delta_t_us=delta_t_us,
+        max_neighbors=max_nb, max_queue_size=max_q,
+        lookback=min(lookback, n))
     off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
     nbr_f = (nbr + off).reshape(b * n, -1)
     nbrm_f = nbrm.reshape(b * n, -1)
@@ -93,7 +93,7 @@ def build_level0_graph(pos: jnp.ndarray,       # [B, N, 3] int32
     batch_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
     vm = valid.reshape(b * n)
     return Graph(jnp.where(vm[:, None], pol, 0.0), posn, nbr_f, nbrm_f, vm,
-                 batch_ids)
+                 batch_ids, doff.reshape(b * n, -1, 2))
 
 
 def graph_static_config(cfg: Config) -> tuple:

@@ -12,7 +12,7 @@ turns message aggregation into gather+sum (no scatter on the hot path).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,10 @@ class Graph(NamedTuple):
     nbr_mask: jnp.ndarray   # [N, K] bool
     node_mask: jnp.ndarray  # [N] bool
     batch: jnp.ndarray      # [N] int32
+    # level-0 only: per-edge integer pixel offsets (x_dst-x_src, y_dst-y_src)
+    # decoded from the search kernel's spiral key — edge attrs and source
+    # positions derive from these arithmetically (no position gather)
+    off: Optional[jnp.ndarray] = None   # [N, K, 2] int32 or None
 
 
 def neighbor_rows(src: jnp.ndarray, grid, batch_size: int,

@@ -41,11 +41,15 @@ def _bn_apply(x, p, s, training, momentum=0.1, eps=1e-5):
         unbiased = var * cnt / max(cnt - 1, 1)
         ns = {"mean": (1 - momentum) * s["mean"] + momentum * mean,
               "var": (1 - momentum) * s["var"] + momentum * unbiased}
-    else:
-        mean, var = s["mean"], s["var"]
-        ns = s
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["offset"]
-    return y, ns
+        y = (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["offset"]
+        return y, ns
+    # eval: fold scale*rsqrt(var+eps) / offset-mean*a in f32 (running stats
+    # stay f32 regardless of the compute dtype — ops/norm.py convention),
+    # cast only the folded affine to x.dtype
+    f32 = jnp.float32
+    a = p["scale"].astype(f32) * jax.lax.rsqrt(s["var"].astype(f32) + eps)
+    b = p["offset"].astype(f32) - s["mean"].astype(f32) * a
+    return x * a.astype(x.dtype) + b.astype(x.dtype), s
 
 
 def _init_conv(key, kh, kw, cin, cout):
@@ -194,16 +198,14 @@ def cnn_branch_forward(params, state, image, arch: str = "resnet50",
     """Returns (features [5 maps], outputs [2 maps], new_state), NHWC.
     ``compute_dtype="bfloat16"`` casts weights+activations (eval only; BN
     running stats stay f32 inside _bn_apply's affine)."""
-    orig_state = state
     if compute_dtype == "bfloat16" and not training:
+        # weights/activations bf16; BN running stats stay f32 (the _bn_apply
+        # eval path folds the affine in f32 from the untouched state)
         cast = lambda a: (a.astype(jnp.bfloat16)
                           if a.dtype == jnp.float32 else a)
         params = jax.tree.map(cast, params)
-        state = jax.tree.map(cast, state)
         image = image.astype(jnp.bfloat16)
     taps, ns = resnet_forward(params["resnet"], state, image, arch, training)
-    if compute_dtype == "bfloat16" and not training:
-        ns = orig_state   # eval mode: BN state is unchanged; keep it f32
     feats = [
         _conv(taps[l], params["feature_dconv"][i]["w"])
         + params["feature_dconv"][i]["b"]

@@ -101,6 +101,28 @@ def queue_rank(pix: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, ranks, big)
 
 
+def spiral_offset(s: jnp.ndarray):
+    """Inverse of :func:`spiral_index`: visit order -> (dx, dy), pure VPU
+    arithmetic (float sqrt + integer fix-ups; no table gather).  Lets the
+    search kernel's packed priority key be decoded into the edge's pixel
+    offset — so edge attrs and source positions become arithmetic instead of
+    a position gather."""
+    sf = s.astype(jnp.float32)
+    r = jnp.floor((jnp.sqrt(jnp.maximum(sf, 0.0)) + 1.0) * 0.5) \
+        .astype(jnp.int32)
+    # float-sqrt boundary fix-ups: enforce (2r-1)^2 <= s < (2r+1)^2
+    r = jnp.where((2 * r - 1) ** 2 > s, r - 1, r)
+    r = jnp.where((2 * r + 1) ** 2 <= s, r + 1, r)
+    p = s - (2 * r - 1) ** 2
+    leg = jnp.clip(p // jnp.maximum(2 * r, 1), 0, 3)
+    dx = jnp.select([leg == 0, leg == 1, leg == 2],
+                    [r, 3 * r - 1 - p, -r], p - 7 * r + 1)
+    dy = jnp.select([leg == 0, leg == 1, leg == 2],
+                    [p - r + 1, r, 5 * r - 1 - p], -r)
+    zero = s <= 0
+    return jnp.where(zero, 0, dx), jnp.where(zero, 0, dy)
+
+
 def spiral_index(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     """Closed-form spiral visit order of offset (dx, dy) — equals
     ``spiral_index_table(r)[dy+r, dx+r]`` for any covering radius, without a
@@ -150,7 +172,11 @@ def build_graph_single(pos: jnp.ndarray,
 
     Returns:
       nbr ``[N, max_neighbors]`` int32 source indices (slot 0 = self),
-      nbr_mask ``[N, max_neighbors]`` bool.
+      nbr_mask ``[N, max_neighbors]`` bool,
+      doff ``[N, max_neighbors, 2]`` int32 pixel offsets
+      ``(x_dst - x_src, y_dst - y_src)`` per edge (0 at masked/self slots) —
+      attrs and source positions derive from these arithmetically, no
+      position gather needed downstream.
     """
     n = pos.shape[0]
     k_other = max_neighbors - 1
@@ -216,27 +242,38 @@ def build_graph_single(pos: jnp.ndarray,
         # lax.top_k lowers to a full per-row sort (ruinous on TPU at L=1024);
         # k_other rounds of argmin+mask are pure VPU work.
         lanes = jnp.arange(lookback, dtype=jnp.int32)[:, None]
-        nbrs, masks = [], []
+        nbrs, masks, off_list = [], [], []
         for _ in range(k_other):
             idx = jnp.argmin(key, axis=0)                     # [C]
             kmin = jnp.min(key, axis=0)
             nbrs.append(ii - (idx + 1))                       # j = i - d
             masks.append(kmin < _INVALID_KEY)
-            key = jnp.where(lanes == idx[None, :], _INVALID_KEY, key)
+            sel = lanes == idx[None, :]
+            # dst - src pixel offset of the selected edge (dx here is
+            # src - dst, hence the negation)
+            off_list.append(jnp.stack(
+                [-jnp.sum(jnp.where(sel, dx, 0), axis=0),
+                 -jnp.sum(jnp.where(sel, dy, 0), axis=0)], axis=-1))
+            key = jnp.where(sel, _INVALID_KEY, key)
         nbr = jnp.stack(nbrs, axis=1)
         mask = jnp.stack(masks, axis=1)
-        return jnp.where(mask, nbr, 0), mask
+        off = jnp.stack(off_list, axis=1)                     # [C, k, 2]
+        return jnp.where(mask, nbr, 0), mask, \
+            jnp.where(mask[..., None], off, 0)
 
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    nbrs, masks = jax.lax.map(chunk_fn, starts)
+    nbrs, masks, offs = jax.lax.map(chunk_fn, starts)
     nbrs = nbrs.reshape(n_pad, k_other)[:n]
     masks = masks.reshape(n_pad, k_other)[:n]
+    offs = offs.reshape(n_pad, k_other, 2)[:n]
 
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     nbr = jnp.concatenate([self_idx, nbrs], axis=1)
     nbr_mask = jnp.concatenate([valid[:, None], masks], axis=1)
     nbr = jnp.where(nbr_mask, nbr, 0)
-    return nbr, nbr_mask
+    doff = jnp.concatenate(
+        [jnp.zeros((n, 1, 2), jnp.int32), offs], axis=1)
+    return nbr, nbr_mask, doff
 
 
 def build_graph(pos: jnp.ndarray, valid: jnp.ndarray, ranks=None, **kw):
@@ -281,6 +318,7 @@ def build_graph_numpy(pos: np.ndarray,
 
     nbr = np.zeros((n, max_neighbors), dtype=np.int32)
     mask = np.zeros((n, max_neighbors), dtype=bool)
+    doff = np.zeros((n, max_neighbors, 2), dtype=np.int32)
     for i in range(n):
         if not valid[i]:
             continue
@@ -301,10 +339,11 @@ def build_graph_numpy(pos: np.ndarray,
                     continue
                 nbr[i, cnt] = j
                 mask[i, cnt] = True
+                doff[i, cnt] = (-dx, -dy)   # dst - src
                 cnt += 1
                 if cnt >= max_neighbors:
                     break
-    return nbr, mask
+    return nbr, mask, doff
 
 
 def build_graph_auto(pos, valid, ranks=None, **kw):

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .event_graph import queue_rank, spiral_index
+from .event_graph import queue_rank, spiral_index, spiral_offset
 
 _INVALID = np.int32(2**31 - 1)
 _LANES = 128
@@ -90,8 +90,11 @@ def _select_kernel(lmax_ref, pix_ref, t_ref, rk_ref,
     top = jax.lax.fori_loop(0, n_steps, _step, top0, unroll=False)
 
     found = top < packed_invalid
-    # d == 0 encodes "no neighbour" (real offsets start at 1)
-    d_out_ref[...] = jnp.where(found, top % d_span, 0)
+    # output the FULL packed value (-1 = no neighbour): the caller decodes
+    # both the stream offset (top % 2L) and the spiral index
+    # (top // (2L*Q)), from which the edge's pixel offset is recovered
+    # arithmetically (spiral_offset) — no position gather downstream
+    d_out_ref[...] = jnp.where(found, top, -1)
 
 
 def build_graph_pallas(pos: jnp.ndarray,
@@ -208,15 +211,24 @@ def build_graph_pallas(pos: jnp.ndarray,
     )(lmax, pw, tw, rw)
 
     # [k_pad, chunk, p_pad] -> [B, n_pad, k_other]
-    d_sel = d_sel[:k_other, :, :p_total].transpose(2, 1, 0) \
+    packed = d_sel[:k_other, :, :p_total].transpose(2, 1, 0) \
         .reshape(b, n_pad, k_other)[:, :n]
-    found = d_sel > 0
+    found = packed >= 0
+    d_span = jnp.int32(2 * lookback)
+    d = jnp.where(found, packed % d_span, 0)
+    spiral = jnp.where(found, (packed // d_span) // q_cap, 0)
+    sdx, sdy = spiral_offset(spiral)          # src - dst pixel offsets
     dst = jnp.arange(n, dtype=jnp.int32)[None, :, None]
-    nbr = jnp.where(found, dst - d_sel, 0)
+    nbr = jnp.where(found & (d > 0), dst - d, 0)
+    found = found & (d > 0)
 
     self_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :,
                                                                None],
                                 (b, n, 1))
     nbr = jnp.concatenate([self_idx, nbr], axis=2)
     mask = jnp.concatenate([valid[:, :, None], found], axis=2)
-    return jnp.where(mask, nbr, 0), mask
+    doff = jnp.concatenate(
+        [jnp.zeros((b, n, 1, 2), jnp.int32),
+         jnp.where(found[..., None],
+                   jnp.stack([-sdx, -sdy], axis=-1), 0)], axis=2)
+    return jnp.where(mask, nbr, 0), mask, doff

@@ -15,10 +15,12 @@ large dense matmul.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import math
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .spline import spline_basis
 
@@ -66,6 +68,76 @@ def cartesian_attr(pos: jnp.ndarray, nbr: jnp.ndarray, nbr_mask: jnp.ndarray,
     return jnp.where(nbr_mask[..., None], attr, 0.5)
 
 
+def tap_ranges(kernel_size: int,
+               attr_range) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Static per-axis kernel tap bounds implied by static attr bounds.
+
+    For degree-1 splines an attr value ``a`` only touches taps
+    ``floor(a*(K-1))`` and ``+1``; when the attr range is narrow (level 0:
+    pixel offsets bounded by the graph radius map to attrs near 0.5) most of
+    the ``K x K`` kernel is provably untouched and the contraction can skip
+    it (the reference LUT pays the full kernel, spline_conv.py:39-47).
+
+    Args: attr_range ``((ax_lo, ax_hi), (ay_lo, ay_hi))``.
+    Returns inclusive ``((mx_lo, mx_hi), (my_lo, my_hi))``.
+    """
+    k = kernel_size
+    out = []
+    for lo, hi in attr_range:
+        u_lo = min(max(float(lo), 0.0), 1.0) * (k - 1)
+        u_hi = min(max(float(hi), 0.0), 1.0) * (k - 1)
+        i0 = max(min(math.floor(u_lo - 1e-5), k - 2), 0)
+        i1 = max(min(math.floor(u_hi + 1e-5), k - 2), 0)
+        out.append((i0, min(i1 + 1, k - 1)))
+    return tuple(out)
+
+
+def center_index(kernel_size: int) -> int:
+    """Flat kernel slot hit by ``attr == 0.5`` with weight 1 (odd K)."""
+    c = (kernel_size - 1) // 2
+    return c + c * kernel_size
+
+
+def sub_kernel_index(kernel_size: int, ranges) -> np.ndarray:
+    """Flat kernel indices of the tap sub-rectangle (x fastest)."""
+    (mx0, mx1), (my0, my1) = ranges
+    return (np.arange(my0, my1 + 1)[:, None] * kernel_size
+            + np.arange(mx0, mx1 + 1)[None, :]).reshape(-1)
+
+
+def spline_coeff_sep(attr: jnp.ndarray, kernel_size: int, ranges,
+                     dtype=jnp.float32):
+    """Separable dense tap weights ``(cx [..., nxs], cy [..., nys])`` with
+    ``coeff[..., my*nxs + mx] = cy[..., my] * cx[..., mx]`` equal to the
+    dense scatter of :func:`spline_basis` restricted to ``ranges``."""
+    (mx0, mx1), (my0, my1) = ranges
+    k = kernel_size
+    u = jnp.clip(attr, 0.0, 1.0) * (k - 1)
+
+    def axis(ud, m0, nsub):
+        i0 = jnp.clip(jnp.floor(ud).astype(jnp.int32), 0, k - 2)
+        fr = (ud - i0).astype(dtype)
+        loc = i0 - m0
+        return (jax.nn.one_hot(loc, nsub, dtype=dtype) * (1.0 - fr)[..., None]
+                + jax.nn.one_hot(loc + 1, nsub, dtype=dtype) * fr[..., None])
+
+    return (axis(u[..., 0], mx0, mx1 - mx0 + 1),
+            axis(u[..., 1], my0, my1 - my0 + 1))
+
+
+def offset_attr(off: jnp.ndarray, nbr_mask: jnp.ndarray, max_value: float,
+                width: int, height: int) -> jnp.ndarray:
+    """Pseudo-coordinates from integer pixel offsets ``(dst - src)``
+    (decoded from the search kernel's spiral key): equals
+    :func:`cartesian_attr` on the gathered normalized positions up to float
+    rounding, with zero gathers.  Args: off ``[N, K, 2]`` int32."""
+    s = jnp.asarray([1.0 / (2.0 * max_value * width),
+                     1.0 / (2.0 * max_value * height)], jnp.float32)
+    a = off.astype(jnp.float32) * s + 0.5
+    a = jnp.clip(a, 0.0, 1.0)
+    return jnp.where(nbr_mask[..., None], a, 0.5)
+
+
 def spline_conv(x: jnp.ndarray,
                 nbr: jnp.ndarray,
                 nbr_mask: jnp.ndarray,
@@ -76,7 +148,9 @@ def spline_conv(x: jnp.ndarray,
                 aggr: str = "sum",
                 node_mask: Optional[jnp.ndarray] = None,
                 x_dst: Optional[jnp.ndarray] = None,
-                x_j: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                x_j: Optional[jnp.ndarray] = None,
+                attr_range=None,
+                add_center_to_root: bool = False) -> jnp.ndarray:
     """Args:
       x: ``[N, Cin]`` node features.
       nbr: ``[N, K]`` int32 source index per (destination, slot).
@@ -91,23 +165,34 @@ def spline_conv(x: jnp.ndarray,
         TPU gathers cost a full memory tile per index, so callers that
         already gathered a combined row (positions + features) pass the
         slice here instead of triggering a second gather.
+      attr_range: optional static ``((ax_lo, ax_hi), (ay_lo, ay_hi))`` attr
+        bounds; the contraction is restricted to the implied kernel-tap
+        sub-rectangle (:func:`tap_ranges`) — exact, not an approximation.
+      add_center_to_root: the caller removed the self edge (slot 0, attr
+        exactly 0.5 so its basis is the single center tap with weight 1)
+        from the tables; its contribution ``x_dst @ weight[center]`` is
+        folded into the root matmul instead.  Only valid for ``aggr='sum'``
+        with the downstream masking matching the removed slot's mask.
 
     Returns ``[N_dst, Cout]`` (``N_dst = nbr.shape[0]``).
     """
     n, k = nbr.shape
     cin = x.shape[1]
     xd = x if x_dst is None else x_dst
-    m = kernel_size * kernel_size
-    w, idx = spline_basis(attr, kernel_size)           # [N, K, 4]
-    w = w * nbr_mask[..., None]
+    if attr_range is None:
+        ranges = ((0, kernel_size - 1), (0, kernel_size - 1))
+    else:
+        ranges = tap_ranges(kernel_size, attr_range)
+    (mx0, mx1), (my0, my1) = ranges
+    nxs, nys = mx1 - mx0 + 1, my1 - my0 + 1
+    m_sub = nxs * nys
+
+    cx, cy = spline_coeff_sep(attr, kernel_size, ranges, dtype=x.dtype)
+    cx = cx * nbr_mask[..., None]
     if aggr == "mean":
         deg = jnp.maximum(nbr_mask.sum(axis=1, keepdims=True), 1)
-        w = w / deg[..., None]
-    # coeff[n, k, m]: 4 scatter slots -> accumulate via one_hot matmuls
-    coeff = jnp.zeros((n, k, m), dtype=x.dtype)
-    for s in range(4):
-        coeff = coeff + jax.nn.one_hot(idx[..., s], m, dtype=x.dtype) \
-            * w[..., s][..., None]
+        cx = cx / deg[..., None]
+    coeff = (cy[..., :, None] * cx[..., None, :]).reshape(n, k, m_sub)
     if x_j is None:
         x_j = x[nbr]                                   # [N, K, Cin]
     if n * k >= 1 << 20:
@@ -116,10 +201,19 @@ def spline_conv(x: jnp.ndarray,
         # nodes vs 3.1 ms for the fused broadcast-reduce)
         z = (coeff[:, :, :, None] * x_j[:, :, None, :]).sum(axis=1)
     else:
-        z = jnp.einsum("nkm,nkc->nmc", coeff, x_j)     # [N, M, Cin]
-    out = z.reshape(n, m * cin) @ params.weight.reshape(m * cin, -1)
-    if params.root is not None:
-        out = out + xd @ params.root
+        z = jnp.einsum("nkm,nkc->nmc", coeff, x_j)     # [N, M_sub, Cin]
+    if m_sub < kernel_size * kernel_size:
+        w_sub = params.weight[sub_kernel_index(kernel_size, ranges)]
+    else:
+        w_sub = params.weight
+    out = z.reshape(n, m_sub * cin) @ w_sub.reshape(m_sub * cin, -1)
+    root = params.root
+    if add_center_to_root:
+        assert aggr == "sum", "self-edge fold requires sum aggregation"
+        wc = params.weight[center_index(kernel_size)]
+        root = wc if root is None else root + wc
+    if root is not None:
+        out = out + xd @ root
     if params.bias is not None:
         out = out + params.bias
     if node_mask is not None:

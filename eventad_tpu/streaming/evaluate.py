@@ -168,7 +168,8 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
                        max_boxes=cfg.max_boxes)
     gsc = graph_static_config(cfg1)
     s1 = cfg.max_boxes + 1
-    st = init_incremental_state(n_buf, bc, mc)
+    st = init_incremental_state(n_buf, bc, mc,
+                                max_neighbors=cfg.max_neighbors)
     if bc.use_image:
         img = jnp.asarray(rng.rand(cfg.model_height, cfg.model_width, 3)
                           .astype(np.float32))
@@ -257,6 +258,48 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
         "device_read_ms": dev_read,
         "events_per_chunk": n_chunk,
     }
+
+
+def latency_bench_detect(cfg, *, n_buf: int = 16384, n_chunk: int = 512,
+                         iters: int = 20, seed: int = 0):
+    """Pipelined device time of the streaming DETECTION read-out
+    (read_detections: pool + upper levels + GNN head + fusion + decode +
+    NMS from cached level-0 state)."""
+    import jax
+    from ..models.detector import init_detector
+    from ..models.eventad import EventADConfig
+    from .detect import make_incremental_detector, update_image_detector
+    from .incremental import init_incremental_state, insert_raw
+    rng = np.random.RandomState(seed)
+    cfg1 = cfg.replace(batch_size=1)
+    params, state, bc = init_detector(jax.random.PRNGKey(0), cfg1)
+    gsc = graph_static_config(cfg1)
+    st = init_incremental_state(n_buf, bc, EventADConfig(),
+                                max_neighbors=cfg.max_neighbors)
+    refresh, append, read_det = make_incremental_detector(
+        params, state, bc, gsc, n_chunk=n_chunk, n_buf=n_buf)
+    if bc.use_image:
+        img = jnp.asarray(rng.rand(cfg.model_height, cfg.model_width, 3)
+                          .astype(np.float32))
+        st = update_image_detector(params, state, st, img, bc, cfg.img_net)
+    t_base = 1_000_000
+    for _ in range(n_buf // n_chunk):
+        ev = np.zeros((n_chunk, 3), np.int32)
+        ev[:, 0] = rng.randint(0, cfg.model_width, n_chunk)
+        ev[:, 1] = rng.randint(0, cfg.model_height, n_chunk)
+        ev[:, 2] = t_base + np.sort(rng.randint(0, 2000, n_chunk))
+        t_base += 2000
+        st = insert_raw(st, jnp.asarray(ev), jnp.ones((n_chunk,)),
+                        jnp.int32(n_chunk))
+    st = refresh(st)
+    dets, _ = read_det(st)                 # compile
+    _ = np.asarray(dets["scores"]).ravel()[0]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dets, _ = read_det(st)
+    _ = np.asarray(dets["scores"]).ravel()[0]
+    return {"device_read_detections_ms":
+            (time.perf_counter() - t0) / iters * 1e3}
 
 
 def flops_report(cfg, n_events: int, changed_events: int):

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.backbone import (BackboneConfig, _act, backbone_forward,
-                               layer_in_out_channels)
+                               layer_in_out_channels, level0_attr_range)
 from ..models.dagr import ModelParams, ModelState
 from ..models.eventad import EventADConfig, fusion_forward, spatial_attention
 from ..models.feature_extract import extract_box_features
@@ -40,7 +40,7 @@ from ..models.graph import Graph, lookup_pixel_features
 from ..models.gru import gru_step
 from ..ops.event_graph import build_graph_auto
 from ..ops.norm import batch_norm
-from ..ops.spline_conv import cartesian_attr, spline_conv
+from ..ops.spline_conv import offset_attr, spline_conv
 
 
 class IncrementalState(NamedTuple):
@@ -53,21 +53,31 @@ class IncrementalState(NamedTuple):
     img1: jnp.ndarray       # [N_buf, Cimg1] image_feat[1] samples
     nbr0: jnp.ndarray       # [N_buf, K] level-0 neighbour table
     nbrm0: jnp.ndarray      # [N_buf, K]
+    off0: jnp.ndarray       # [N_buf, K, 2] int32 per-edge pixel offsets
+                            # (dst - src); attrs + exact pooling source
+                            # positions derive from these arithmetically
     image_feats: Optional[tuple]
     h_event: jnp.ndarray
     h_coord: jnp.ndarray
     seen: jnp.ndarray
     t_now: jnp.ndarray
+    # detector streaming only: per-frame CNN-head logit maps (computed once
+    # per image by detect.update_image_detector; the read path adds them)
+    cnn_maps: Optional[dict] = None
 
 
 def init_incremental_state(n_buf: int, bc: BackboneConfig,
                            mc: EventADConfig,
-                           image_feats=None) -> IncrementalState:
+                           image_feats=None,
+                           max_neighbors: int = 16) -> IncrementalState:
+    """``max_neighbors`` must match the graph config's neighbour cap
+    (``graph_static_config(cfg)[2]`` / ``cfg.max_neighbors``) — it sizes the
+    cached level-0 neighbour table."""
     pairs = layer_in_out_channels(bc)
     c_in0, c1 = pairs[0]
     c_img1 = bc.image_channels[1] if bc.use_image else 1
     s1 = mc.max_boxes + 1
-    k = 16
+    k = max_neighbors
     return IncrementalState(
         pos=jnp.zeros((n_buf, 3), jnp.int32),
         polarity=jnp.zeros((n_buf,)),
@@ -78,6 +88,7 @@ def init_incremental_state(n_buf: int, bc: BackboneConfig,
         img1=jnp.zeros((n_buf, c_img1)),
         nbr0=jnp.zeros((n_buf, k), jnp.int32),
         nbrm0=jnp.zeros((n_buf, k), bool),
+        off0=jnp.zeros((n_buf, k, 2), jnp.int32),
         image_feats=image_feats,
         h_event=jnp.zeros((s1, mc.event_layers, mc.h_dim)),
         h_coord=jnp.zeros((s1, mc.coord_layers, mc.coord_dim)),
@@ -113,13 +124,23 @@ def _input_rows(state, posn_rows, pol_rows, valid_rows, bc):
 
 def _layer1_rows(params, mstate, bc, x_in_full, h_b1_full, nbr, nbrm, attr,
                  x_dst_in, dmask):
-    """Layer-1 (two conv blocks + skip) for a row subset, eval-mode BN."""
+    """Layer-1 (two conv blocks + skip) for a row subset, eval-mode BN.
+
+    Numerics must be identical to the batch path's ``apply_layer`` at level
+    0 (tests/test_streaming.py): same self-edge fold (slot 0 dropped, center
+    kernel folded into root) and the same static attr-range tap restriction.
+    """
     act = _act(bc.activation)
     lp = params.dagr.backbone.layers[0]
     ls = mstate.dagr.backbone.layers[0]
+    fold = bc.aggr == "sum"
+    s0 = 1 if fold else 0
+    arange = level0_attr_range(bc)
+    nbr, nbrm, attr = nbr[:, s0:], nbrm[:, s0:], attr[:, s0:]
     h = spline_conv(x_in_full, nbr, nbrm, attr, lp.block1.conv,
                     kernel_size=bc.kernel_size, aggr=bc.aggr,
-                    x_dst=x_dst_in)
+                    x_dst=x_dst_in, attr_range=arange,
+                    add_center_to_root=fold)
     h, _ = batch_norm(h, dmask, lp.block1.bn, ls.block1.bn, training=False)
     h_b1_rows = jnp.where(dmask[:, None], act(h), 0.0)
     # block2 gathers block-1 outputs of neighbours; same-chunk neighbours
@@ -127,7 +148,8 @@ def _layer1_rows(params, mstate, bc, x_in_full, h_b1_full, nbr, nbrm, attr,
     h_b1_full = h_b1_full.at[-h_b1_rows.shape[0]:].set(h_b1_rows)
     h2 = spline_conv(h_b1_full, nbr, nbrm, attr, lp.block2.conv,
                      kernel_size=bc.kernel_size, aggr=bc.aggr,
-                     x_dst=h_b1_rows)
+                     x_dst=h_b1_rows, attr_range=arange,
+                     add_center_to_root=fold)
     h2, _ = batch_norm(h2, dmask, lp.block2.bn, ls.block2.bn,
                        training=False)
     skip = x_dst_in @ lp.skip_lin + lp.skip_lin_bias
@@ -137,9 +159,10 @@ def _layer1_rows(params, mstate, bc, x_in_full, h_b1_full, nbr, nbrm, attr,
     return h_b1_rows, h1_rows, h_b1_full
 
 
-def _upper_levels_and_head(params, mstate, bc, mc, state, posn, boxes,
-                           box_present, gsc):
-    """Pool the cached level-0 outputs and run levels 2-5 + the head."""
+def pooled_backbone_outs(params, mstate, bc, state: IncrementalState,
+                         posn, gsc):
+    """Pool the cached level-0 outputs and run levels 2-5; returns the
+    (out3, out4) graphs (shared by the anomaly and detection read paths)."""
     (_r, _d, _k, _q, _l, width, height, _tw) = gsc
     x1 = state.h1
     if bc.use_image:
@@ -147,9 +170,23 @@ def _upper_levels_and_head(params, mstate, bc, mc, state, posn, boxes,
     n_buf = x1.shape[0]
     g = Graph(x1, posn, state.nbr0, state.nbrm0, state.valid,
               jnp.zeros((n_buf,), jnp.int32))
+    # exact source positions for pool-1's cell assignment from the cached
+    # integer offsets (x_src = x_dst - off is the true source pixel; its
+    # normalization is bitwise the batch normalizer's division) — avoids
+    # pool_graph's per-edge cell gather
+    wh = jnp.asarray([width, height], jnp.float32)
+    pos_src0 = (state.pos[:, None, :2] - state.off0).astype(jnp.float32) / wh
     outs, _ = backbone_forward(params.dagr.backbone, mstate.dagr.backbone,
                                g, state.image_feats, bc, training=False,
-                               start_level=1)
+                               start_level=1, pos_src0=pos_src0)
+    return outs
+
+
+def _upper_levels_and_head(params, mstate, bc, mc, state, posn, boxes,
+                           box_present, gsc):
+    """Pool the cached level-0 outputs and run levels 2-5 + the head."""
+    (_r, _d, _k, _q, _l, width, height, _tw) = gsc
+    outs = pooled_backbone_outs(params, mstate, bc, state, posn, gsc)
     out4 = outs[1]
     feats = extract_box_features(out4, boxes[None, None],
                                  box_present[None, None], 1, width,
@@ -203,17 +240,17 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         posn = _norm_pos(state.pos, state.t_now, gsc)
         x_in, img1 = _input_rows(state, posn, state.polarity, state.valid,
                                  bc)
-        nbr, nbrm = build_graph_auto(
+        nbr, nbrm, doff = build_graph_auto(
             state.pos[None], state.valid[None], radius=radius_px,
             delta_t_us=delta_t_us, max_neighbors=max_nb,
             max_queue_size=max_q, lookback=lb_exact)
-        nbr, nbrm = nbr[0], nbrm[0]
-        attr = cartesian_attr(posn, nbr, nbrm, bc.cart_max[0], clamp=True)
+        nbr, nbrm, doff = nbr[0], nbrm[0], doff[0]
+        attr = offset_attr(doff, nbrm, bc.cart_max[0], width, height)
         h_b1_rows, h1_rows, h_b1_full = _layer1_rows(
             params, mstate, bc, x_in, jnp.zeros_like(state.h_b1), nbr, nbrm,
             attr, x_in, state.valid)
         return state._replace(x_in=x_in, img1=img1, nbr0=nbr, nbrm0=nbrm,
-                              h_b1=h_b1_rows, h1=h1_rows)
+                              off0=doff, h_b1=h_b1_rows, h1=h1_rows)
 
     @jax.jit
     def append(state: IncrementalState, new_pos, new_pol, n_new):
@@ -234,6 +271,8 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         nbr0 = jnp.roll(state.nbr0, -k, axis=0) - k
         nbrm0 = jnp.roll(state.nbrm0, -k, axis=0) & (nbr0 >= 0)
         nbr0 = jnp.where(nbrm0, nbr0, 0)
+        off0 = jnp.where(nbrm0[..., None],
+                         jnp.roll(state.off0, -k, axis=0), 0)
         state = state._replace(
             pos=pos, polarity=pol, valid=valid, t_now=t_now,
             x_in=jnp.roll(state.x_in, -k, axis=0),
@@ -252,25 +291,26 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         w0 = n_buf - (lookback + k)
         tail_pos = jax.lax.dynamic_slice(pos, (w0, 0), (lookback + k, 3))
         tail_valid = jax.lax.dynamic_slice(valid, (w0,), (lookback + k,))
-        nbr_t, nbrm_t = build_graph_auto(
+        nbr_t, nbrm_t, doff_t = build_graph_auto(
             tail_pos[None], tail_valid[None], radius=radius_px,
             delta_t_us=delta_t_us, max_neighbors=max_nb,
             max_queue_size=max_q, lookback=lookback)
-        nbr_t, nbrm_t = nbr_t[0], nbrm_t[0]
+        nbr_t, nbrm_t, doff_t = nbr_t[0], nbrm_t[0], doff_t[0]
         nbr_c = nbr_t[-k:] + w0
         nbrm_c = nbrm_t[-k:]
+        off_c = doff_t[-k:]
         nbr_c = jnp.where(nbrm_c, nbr_c, 0)
         nbr0 = nbr0.at[-k:].set(nbr_c)
         nbrm0 = nbrm0.at[-k:].set(nbrm_c)
+        off0 = off0.at[-k:].set(off_c)
 
         # 4. Layer-1 for the chunk rows only
-        attr = cartesian_attr(posn, nbr_c, nbrm_c, bc.cart_max[0],
-                              clamp=True, pos_dst=posn[-k:])
+        attr = offset_attr(off_c, nbrm_c, bc.cart_max[0], width, height)
         h_b1_rows, h1_rows, h_b1_full = _layer1_rows(
             params, mstate, bc, x_in, state.h_b1, nbr_c, nbrm_c, attr,
             x_rows, valid[-k:])
         return state._replace(x_in=x_in, img1=img1, nbr0=nbr0,
-                               nbrm0=nbrm0, h_b1=h_b1_full,
+                               nbrm0=nbrm0, off0=off0, h_b1=h_b1_full,
                                h1=state.h1.at[-k:].set(h1_rows))
 
     @jax.jit

@@ -34,6 +34,18 @@ def test_spiral_table_first_ring():
     assert (vals == np.arange(side * side)).all()   # bijection
 
 
+def test_spiral_offset_inverse():
+    """spiral_offset is the exact arithmetic inverse of spiral_index."""
+    from eventad_tpu.ops.event_graph import spiral_index, spiral_offset
+    r = 12
+    dy, dx = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
+                         indexing="ij")
+    s = np.asarray(spiral_index(jnp.asarray(dx), jnp.asarray(dy)))
+    gx, gy = spiral_offset(jnp.asarray(s))
+    assert (np.asarray(gx) == dx).all()
+    assert (np.asarray(gy) == dy).all()
+
+
 def test_queue_rank(rng):
     pix = np.array([3, 3, 7, 3, 7, 9], dtype=np.int32)
     valid = np.array([1, 1, 1, 1, 1, 0], dtype=bool)
@@ -48,22 +60,27 @@ def test_graph_matches_reference(rng):
         pos, valid = make_events(rng, 400, n_valid=380)
         kw = dict(radius=3, delta_t_us=20_000, max_neighbors=8,
                   max_queue_size=16)
-        ref_nbr, ref_mask = build_graph_numpy(pos, valid, **kw)
-        nbr, mask = build_graph_single(
+        ref_nbr, ref_mask, ref_off = build_graph_numpy(pos, valid, **kw)
+        nbr, mask, off = build_graph_single(
             jnp.asarray(pos), jnp.asarray(valid), lookback=400, chunk=64,
             **kw)
-        nbr, mask = np.asarray(nbr), np.asarray(mask)
+        nbr, mask, off = np.asarray(nbr), np.asarray(mask), np.asarray(off)
         assert (mask == ref_mask).all()
         assert (np.where(mask, nbr, 0) == np.where(ref_mask, ref_nbr, 0)).all()
+        # per-edge pixel offsets equal pos[dst] - pos[src]
+        assert (np.where(ref_mask[..., None], off, 0)
+                == np.where(ref_mask[..., None], ref_off, 0)).all()
+        d = pos[:, None, :2] - pos[ref_nbr][:, :, :2]
+        assert (off[ref_mask] == d[ref_mask]).all()
 
 
 def test_graph_dense_pixel(rng):
     # many events on few pixels exercises the queue-depth cutoff
     pos, valid = make_events(rng, 300, w=4, h=3, t_max=5_000)
     kw = dict(radius=2, delta_t_us=4_000, max_neighbors=6, max_queue_size=8)
-    ref_nbr, ref_mask = build_graph_numpy(pos, valid, **kw)
-    nbr, mask = build_graph_single(jnp.asarray(pos), jnp.asarray(valid),
-                                   lookback=300, chunk=50, **kw)
+    ref_nbr, ref_mask, _ = build_graph_numpy(pos, valid, **kw)
+    nbr, mask, _ = build_graph_single(jnp.asarray(pos), jnp.asarray(valid),
+                                      lookback=300, chunk=50, **kw)
     assert (np.asarray(mask) == ref_mask).all()
     assert (np.where(ref_mask, np.asarray(nbr), 0)
             == np.where(ref_mask, ref_nbr, 0)).all()
@@ -74,12 +91,12 @@ def test_graph_batched(rng):
     pos1, valid1 = make_events(rng, 256, n_valid=100)
     pos = jnp.stack([jnp.asarray(pos0), jnp.asarray(pos1)])
     valid = jnp.stack([jnp.asarray(valid0), jnp.asarray(valid1)])
-    nbr, mask = build_graph(pos, valid, radius=3, delta_t_us=30_000,
-                            max_neighbors=8, lookback=256, chunk=64)
+    nbr, mask, _ = build_graph(pos, valid, radius=3, delta_t_us=30_000,
+                               max_neighbors=8, lookback=256, chunk=64)
     assert nbr.shape == (2, 256, 8)
     for b, (p, v) in enumerate([(pos0, valid0), (pos1, valid1)]):
-        rn, rm = build_graph_numpy(p, v, radius=3, delta_t_us=30_000,
-                                   max_neighbors=8)
+        rn, rm, _ = build_graph_numpy(p, v, radius=3, delta_t_us=30_000,
+                                      max_neighbors=8)
         assert (np.asarray(mask[b]) == rm).all()
     # self edges present for every valid event
     assert (np.asarray(mask[1, :100, 0])).all()
@@ -89,9 +106,9 @@ def test_graph_batched(rng):
 def test_edge_invariants(rng):
     """Reference ev_tgn.py:53-56: src_i <= dst_i, destinations ordered."""
     pos, valid = make_events(rng, 200)
-    nbr, mask = build_graph_single(jnp.asarray(pos), jnp.asarray(valid),
-                                   radius=3, delta_t_us=50_000,
-                                   max_neighbors=8, lookback=200, chunk=64)
+    nbr, mask, _ = build_graph_single(jnp.asarray(pos), jnp.asarray(valid),
+                                      radius=3, delta_t_us=50_000,
+                                      max_neighbors=8, lookback=200, chunk=64)
     nbr, mask = np.asarray(nbr), np.asarray(mask)
     dst = np.arange(200)[:, None]
     assert (nbr[mask] <= np.broadcast_to(dst, nbr.shape)[mask]).all()

@@ -11,22 +11,27 @@ def test_pallas_matches_reference(rng):
     pos, valid = make_events(rng, 384, n_valid=360)
     kw = dict(radius=3, delta_t_us=20_000, max_neighbors=8,
               max_queue_size=16)
-    ref_nbr, ref_mask = build_graph_numpy(pos, valid, **kw)
-    nbr, mask = build_graph_pallas(
+    ref_nbr, ref_mask, ref_off = build_graph_numpy(pos, valid, **kw)
+    nbr, mask, off = build_graph_pallas(
         jnp.asarray(pos)[None], jnp.asarray(valid)[None],
         lookback=384, chunk=128, interpret=True, **kw)
-    nbr, mask = np.asarray(nbr[0]), np.asarray(mask[0])
+    nbr, mask, off = np.asarray(nbr[0]), np.asarray(mask[0]), np.asarray(off[0])
     assert (mask == ref_mask).all()
     assert (np.where(mask, nbr, 0) == np.where(ref_mask, ref_nbr, 0)).all()
+    # spiral-decoded pixel offsets equal pos[dst] - pos[src]
+    assert (np.where(mask[..., None], off, 0)
+            == np.where(ref_mask[..., None], ref_off, 0)).all()
 
 
 def test_pallas_dense_pixels(rng):
     pos, valid = make_events(rng, 256, w=4, h=3, t_max=5_000)
     kw = dict(radius=2, delta_t_us=4_000, max_neighbors=6, max_queue_size=8)
-    ref_nbr, ref_mask = build_graph_numpy(pos, valid, **kw)
-    nbr, mask = build_graph_pallas(
+    ref_nbr, ref_mask, ref_off = build_graph_numpy(pos, valid, **kw)
+    nbr, mask, off = build_graph_pallas(
         jnp.asarray(pos)[None], jnp.asarray(valid)[None],
         lookback=256, chunk=64, interpret=True, **kw)
+    assert (np.where(ref_mask[..., None], np.asarray(off[0]), 0)
+            == np.where(ref_mask[..., None], ref_off, 0)).all()
     assert (np.asarray(mask[0]) == ref_mask).all()
     assert (np.where(ref_mask, np.asarray(nbr[0]), 0)
             == np.where(ref_mask, ref_nbr, 0)).all()
@@ -38,10 +43,10 @@ def test_pallas_batched_partial_chunks(rng):
     pos = jnp.stack([jnp.asarray(pos0), jnp.asarray(pos1)])
     valid = jnp.stack([jnp.asarray(valid0), jnp.asarray(valid1)])
     kw = dict(radius=3, delta_t_us=30_000, max_neighbors=8)
-    nbr, mask = build_graph_pallas(pos, valid, lookback=300, chunk=128,
-                                   interpret=True, **kw)
+    nbr, mask, _ = build_graph_pallas(pos, valid, lookback=300, chunk=128,
+                                      interpret=True, **kw)
     for b, (p, v) in enumerate([(pos0, valid0), (pos1, valid1)]):
-        rn, rm = build_graph_numpy(p, v, max_queue_size=128, **kw)
+        rn, rm, _ = build_graph_numpy(p, v, max_queue_size=128, **kw)
         assert (np.asarray(mask[b]) == rm).all()
         assert (np.where(rm, np.asarray(nbr[b]), 0)
                 == np.where(rm, rn, 0)).all()

@@ -1,0 +1,58 @@
+"""Fixture-golden end-to-end regression: the full pipeline (synthetic data
+-> torch-format checkpoint round-trip -> graph build -> backbone -> head ->
+prediction collection -> all 5 metric families) must reproduce committed
+numbers.  Guards whole-pipeline numerics the unit tests cannot see — a
+silent regression anywhere between graph build and mRESPONSE fails here.
+
+Emulates the reference's committed run artifact
+(output/test_results/eventad_dagr_experiment_20250526_085544/
+test_results.csv); regenerate goldens with:
+
+    python -m tests.test_parity_fixture
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN_FILE = Path(__file__).parent / "golden" / "parity_fixture.json"
+
+ARGS = [
+    "--synthetic_data", "true",
+    "--width", "96", "--height", "72", "--scale", "1",
+    "--batch_size", "2", "--use_image", "false",
+    "--event_buckets", "4096", "--graph_lookback", "512",
+    "--num_workers", "0", "--seed", "7",
+]
+
+
+def _run(tmp_root: Path):
+    import parity
+    argv = ARGS + ["--dataset_directory", str(tmp_root / "data"),
+                   "--output_dir", str(tmp_root / "out")]
+    return parity.main(argv)
+
+
+def test_parity_fixture_golden(tmp_path):
+    if not GOLDEN_FILE.exists():
+        pytest.skip("golden file missing — run python -m tests.test_parity_fixture")
+    golden = json.loads(GOLDEN_FILE.read_text())
+    measured = _run(tmp_path)
+    for k, want in golden.items():
+        got = measured.get(k)
+        assert got is not None and np.isfinite(got), f"{k} missing"
+        assert abs(got - want) < 1e-4, \
+            f"{k}: measured {got:.6f} != golden {want:.6f} " \
+            f"(whole-pipeline numeric regression)"
+
+
+if __name__ == "__main__":
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        measured = _run(Path(td))
+    GOLDEN_FILE.parent.mkdir(exist_ok=True)
+    GOLDEN_FILE.write_text(json.dumps(
+        {k: round(float(v), 6) for k, v in measured.items()
+         if v is not None and np.isfinite(v)}, indent=1))
+    print(f"wrote {GOLDEN_FILE}")

@@ -77,6 +77,55 @@ def test_cartesian_attr():
                                atol=1e-6)
 
 
+def test_conv_attr_range_restriction(rng):
+    """The static tap-range restriction (attr_range) is exact: attrs drawn
+    from a narrow band around 0.5 give identical outputs with the 5x5 kernel
+    contraction restricted to the implied sub-rectangle."""
+    from eventad_tpu.ops.spline_conv import tap_ranges
+    n, k, cin, cout = 64, 8, 7, 5
+    span = (0.2, 0.3)     # dagr-S level-0 spans: radius 4px, cart_max 1/36
+    attr_range = ((0.5 - span[0], 0.5 + span[0]),
+                  (0.5 - span[1], 0.5 + span[1]))
+    assert tap_ranges(5, attr_range) == ((1, 3), (0, 4))
+    nbr = jnp.asarray(rng.randint(0, n, size=(n, k)).astype(np.int32))
+    mask = jnp.asarray(rng.rand(n, k) > 0.3)
+    x = jnp.asarray(rng.randn(n, cin).astype(np.float32))
+    attr = jnp.asarray(
+        (0.5 + (rng.rand(n, k, 2) * 2 - 1) * np.array(span))
+        .astype(np.float32))
+    params = init_spline_conv(jax.random.PRNGKey(2), cin, cout, 5, bias=True)
+    for aggr in ("sum", "mean"):
+        full = spline_conv(x, nbr, mask, attr, params, kernel_size=5,
+                           aggr=aggr)
+        ranged = spline_conv(x, nbr, mask, attr, params, kernel_size=5,
+                             aggr=aggr, attr_range=attr_range)
+        np.testing.assert_allclose(np.asarray(ranged), np.asarray(full),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_conv_self_edge_fold(rng):
+    """Dropping the slot-0 self edge (attr exactly 0.5) and folding the
+    center kernel into the root matmul reproduces the full conv."""
+    n, k, cin, cout = 64, 8, 7, 7
+    nbr = rng.randint(0, n, size=(n, k)).astype(np.int32)
+    nbr[:, 0] = np.arange(n)                       # slot 0 = self
+    mask = rng.rand(n, k) > 0.3
+    node_mask = mask[:, 0].copy()                  # self mask == row mask
+    attr = rng.rand(n, k, 2).astype(np.float32)
+    attr[:, 0] = 0.5
+    x = rng.randn(n, cin).astype(np.float32)
+    params = init_spline_conv(jax.random.PRNGKey(3), cin, cout, 5, bias=True)
+    x, nbr, mask, attr = map(jnp.asarray, (x, nbr, mask, attr))
+    nm = jnp.asarray(node_mask)
+    full = spline_conv(x, nbr, mask, attr, params, kernel_size=5,
+                       aggr="sum", node_mask=nm)
+    folded = spline_conv(x, nbr[:, 1:], mask[:, 1:], attr[:, 1:], params,
+                         kernel_size=5, aggr="sum", node_mask=nm,
+                         add_center_to_root=True)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_conv_zero_when_masked(rng):
     x, nbr, mask, attr, params = _random_graph(rng)
     node_mask = jnp.asarray(rng.rand(x.shape[0]) > 0.5)

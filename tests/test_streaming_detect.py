@@ -1,0 +1,64 @@
+"""Streaming detection read-out == batch detector_forward on the same
+window (the reference async runtime wraps the detector's layers too,
+asynchronous/__init__.py:41-110 — this is the consistency contract)."""
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eventad_tpu.config import Config
+from eventad_tpu.models.dagr import graph_static_config
+from eventad_tpu.models.detector import detector_forward, init_detector
+from eventad_tpu.models.eventad import EventADConfig
+from eventad_tpu.streaming import incremental as inc
+from eventad_tpu.streaming.detect import (make_incremental_detector,
+                                          update_image_detector)
+
+
+def test_streaming_detections_match_batch(rng):
+    cfg = Config(batch_size=1, width=48, height=36, scale=1,
+                 use_image=True, event_buckets=(512,), graph_lookback=512)
+    params, state, bc = init_detector(jax.random.PRNGKey(0), cfg)
+    gsc = graph_static_config(cfg)
+    n, n_chunk = 512, 128
+
+    pos = np.zeros((n, 3), np.int32)
+    pos[:, 0] = rng.randint(0, cfg.model_width, n)
+    pos[:, 1] = rng.randint(0, cfg.model_height, n)
+    pos[:, 2] = 1_000_000 + np.sort(rng.randint(0, 50_000, n))
+    pol = rng.choice([-1.0, 1.0], n).astype(np.float32)
+    image = rng.rand(cfg.model_height, cfg.model_width, 3) \
+        .astype(np.float32)
+
+    batch = SimpleNamespace(
+        pos=jnp.asarray(pos)[None], polarity=jnp.asarray(pol)[None],
+        valid=jnp.ones((1, n), bool), image=jnp.asarray(image)[None])
+    dets_b, decoded_b, _ = detector_forward(params, state, batch, cfg, bc,
+                                            training=False)
+
+    st = inc.init_incremental_state(n, bc, EventADConfig(),
+                                    max_neighbors=cfg.max_neighbors)
+    refresh, append, read_det = make_incremental_detector(
+        params, state, bc, gsc, n_chunk=n_chunk, n_buf=n)
+    st = update_image_detector(params, state, st, jnp.asarray(image), bc,
+                               cfg.img_net)
+    st = inc.insert_raw(st, jnp.asarray(pos[:n_chunk]),
+                        jnp.asarray(pol[:n_chunk]), jnp.int32(n_chunk))
+    st = refresh(st)
+    for ci in range(1, n // n_chunk):
+        lo, hi = ci * n_chunk, (ci + 1) * n_chunk
+        st = append(st, jnp.asarray(pos[lo:hi]), jnp.asarray(pol[lo:hi]),
+                    jnp.int32(hi - lo))
+    dets_s, decoded_s = read_det(st)
+
+    db, ds = np.asarray(decoded_b[0]), np.asarray(decoded_s[0])
+    scale = np.abs(db).max() + 1e-6
+    assert np.abs(ds - db).max() / scale < 1e-5, \
+        f"streaming decode diverges: {np.abs(ds - db).max() / scale}"
+    # NMS survivors agree where the batch path kept detections
+    mb = np.asarray(dets_b["mask"][0])
+    assert (np.asarray(dets_s["mask"][0]) == mb).all()
+    np.testing.assert_allclose(np.asarray(dets_s["scores"][0])[mb],
+                               np.asarray(dets_b["scores"][0])[mb],
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Micro-benchmark: fused spline-conv kernel vs the XLA formulation, per
+backbone level shape. Pipelined device timing (enqueue N, fetch one scalar).
+
+Usage: python tools/bench_fused.py [level0|level1|all]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from eventad_tpu.utils.jaxtools import setup_compilation_cache
+setup_compilation_cache()
+import jax.numpy as jnp
+import numpy as np
+
+from eventad_tpu.ops.spline_conv import (SplineConvParams, spline_conv,
+                                         tap_ranges)
+from eventad_tpu.ops.spline_fused import fused_spline_conv
+
+
+def bench(fn, *args, iters=30):
+    f = jax.jit(fn)
+    out = f(*args)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    for _ in range(3):
+        out = f(*args)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    outs = [f(*args) for _ in range(iters)]
+    np.asarray(jax.tree.leaves(outs[-1])[0]).ravel()[0]
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def run_case(name, *, n, k, cin, cout, span, lookback, lookahead=0,
+             span_frac=0.15, seed=0):
+    """span_frac: typical true neighbour span as a fraction of lookback
+    (drives the per-block nsub bound, like delta_t-bounded streams)."""
+    rng = np.random.RandomState(seed)
+    ks = 5
+    attr_range = ((0.5 - span[0], 0.5 + span[0]),
+                  (0.5 - span[1], 0.5 + span[1]))
+    ranges = tap_ranges(ks, attr_range)
+    true_span = max(int(lookback * span_frac), 1)
+    lo = np.maximum(np.arange(n)[:, None] - true_span, 0)
+    hi = np.minimum(np.arange(n)[:, None] + lookahead, n - 1)
+    nbr = (lo + np.round(rng.rand(n, k) * (hi - lo))).astype(np.int32)
+    mask = rng.rand(n, k) > 0.15
+    x = rng.randn(n, cin).astype(np.float32)
+    attr = (0.5 + (rng.rand(n, k, 2) * 2 - 1) * np.array(span)) \
+        .astype(np.float32)
+    w = rng.randn(ks * ks, cin, cout).astype(np.float32) * 0.05
+    params = SplineConvParams(jnp.asarray(w).astype(jnp.bfloat16), None,
+                              None)
+    xj = jnp.asarray(x).astype(jnp.bfloat16)
+    nbrj, maskj = jnp.asarray(nbr), jnp.asarray(mask)
+    attrj = jnp.asarray(attr)
+    u = jnp.clip(attrj, 0, 1) * (ks - 1)
+    wj = jnp.asarray(w)
+
+    def xla_path(xx):
+        return spline_conv(xx, nbrj, maskj, attrj.astype(jnp.bfloat16),
+                           params, kernel_size=ks, aggr="sum",
+                           attr_range=attr_range).sum()
+
+    def fused_path(xx):
+        return fused_spline_conv(xx, nbrj, maskj, u, wj, kernel_size=ks,
+                                 ranges=ranges, lookback=lookback,
+                                 lookahead=lookahead).sum()
+
+    ms_x = bench(xla_path, xj)
+    ms_f = bench(fused_path, xj)
+    print(f"{name:28s} xla {ms_x:7.3f} ms   fused {ms_f:7.3f} ms   "
+          f"({ms_x / ms_f:4.2f}x)")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("level0", "all"):
+        run_case("level0 block1 (98k,15,19,16)", n=98304, k=15, cin=19,
+                 cout=16, span=(0.2, 0.3), lookback=1024)
+        run_case("level0 block2 (98k,15,16,16)", n=98304, k=15, cin=16,
+                 cout=16, span=(0.2, 0.3), lookback=1024)
+    if which in ("level1", "all"):
+        run_case("level1 block1 (13k,25,82,64)", n=13440, k=25, cin=82,
+                 cout=64, span=(0.5, 0.5), lookback=128, lookahead=128,
+                 span_frac=1.0)
+        run_case("level1 block2 (13k,25,64,64)", n=13440, k=25, cin=64,
+                 cout=64, span=(0.5, 0.5), lookback=128, lookahead=128,
+                 span_frac=1.0)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,21 +90,30 @@ def main():
         return scalar(outs[1].x) + scalar(outs[0].x)
 
     def s_level0(batch):
-        """graph + cnn + level-0 layer only (pyramid cut after layer 1)."""
-        from eventad_tpu.models.backbone import (_act, apply_layer)
+        """graph + cnn + level-0 layer only (pyramid cut after layer 1),
+        with the production-path options (fold/tap-range/fused)."""
+        from eventad_tpu.models.backbone import (_act, apply_layer,
+                                                 level0_attr_range)
         from eventad_tpu.models.graph import sample_image_features
         g = g0_of(batch)
         feats = cnn_of(batch)
-        f0 = sample_image_features(feats[0], g.pos, g.batch, g.node_mask,
-                                   bc.width, bc.height)
+        dtc = jnp.bfloat16 if bc.compute_dtype == "bfloat16" else jnp.float32
+        g = g._replace(x=g.x.astype(dtc))
+        f0 = sample_image_features(feats[0].astype(dtc), g.pos, g.batch,
+                                   g.node_mask, bc.width, bc.height)
         rel = jnp.where(g.node_mask[:, None], g.pos[:, :2], 0.0)
-        g = g._replace(x=jnp.concatenate([g.x, f0, rel], axis=1))
+        g = g._replace(x=jnp.concatenate([g.x, f0, rel.astype(dtc)],
+                                         axis=1))
         g, _, _ = apply_layer(params.dagr.backbone.layers[0],
                               state.dagr.backbone.layers[0], g,
                               cart_max=bc.cart_max[0],
                               kernel_size=bc.kernel_size, aggr=bc.aggr,
                               activation=_act(bc.activation),
-                              training=False, return_pos_nbr=True)
+                              training=False, return_pos_nbr=True,
+                              gather_lookback=bc.gather_lookback,
+                              attr_range=level0_attr_range(bc),
+                              self_slot0=True, width=bc.width,
+                              height=bc.height)
         return scalar(g.x)
 
     def s_full(batch):
