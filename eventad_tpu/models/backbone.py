@@ -215,7 +215,11 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                   else ((0, kernel_size - 1), (0, kernel_size - 1)))
         u = jnp.clip(attr_f32.astype(jnp.float32), 0.0, 1.0) \
             * (kernel_size - 1)
-        prep = prepare_fused(nbr, nbr_mask, u, lookback=lb, lookahead=lf)
+        # block 128: larger blocks would amortize the one-hot build, but
+        # t=512 made the tunnel compile pathologically slow (>10 min)
+        tblk = min(128, -(-x_in.shape[0] // 128) * 128)
+        prep = prepare_fused(nbr, nbr_mask, u, lookback=lb, lookahead=lf,
+                             block=tblk)
 
         def conv_block(src, p, xj_unused):
             conv = fused_spline_conv_prepared(
@@ -335,6 +339,7 @@ def backbone_forward(params: BackboneParams,
                      *,
                      training: bool = False,
                      start_level: int = 0,
+                     end_level: int = 5,
                      pos_src0=None):
     """Runs the 5-block pyramid.
 
@@ -393,7 +398,7 @@ def backbone_forward(params: BackboneParams,
     # pooling (``pos_src0``, e.g. exact offsets cached by the streaming
     # path) — None falls back to pool_graph's index-gather derivation
     pos_nbr = pos_src0
-    for level in range(start_level, 5):
+    for level in range(start_level, end_level):
         if level > 0:
             # next level's CNN features are appended at the *previous* level's
             # node positions, then pooled together (net.py:116,127,140,153,169)
@@ -430,5 +435,7 @@ def backbone_forward(params: BackboneParams,
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)
+    if end_level < 5 and not outs:  # profiling cut: return the last graph
+        outs.append(g)
     full_states = list(state.layers[:start_level]) + new_states
     return tuple(outs), BackboneState(tuple(full_states))

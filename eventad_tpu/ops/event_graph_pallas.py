@@ -33,19 +33,20 @@ _INVALID = np.int32(2**31 - 1)
 _LANES = 128
 
 
-def _select_kernel(lmax_ref, pix_ref, t_ref, rk_ref,
+def _select_kernel(lmax_ref, pr_ref, t_ref,
                    d_out_ref, *, lookback, chunk, k_pad,
                    radius, delta_t_us, q_cap):
     """Refs: windows ``[W, 128]`` (W = lookback + chunk, lanes = chunks);
-    ``pix = y * 2^15 + x`` packed (one window array instead of two);
-    outputs ``[k_pad, chunk, 128]`` (selected offsets + found mask)."""
+    ``pr = (y * 2^15 + x) * 256 + rank`` packs pixel AND queue rank in one
+    int32 (pix < 2^23, rank <= Q+1 <= 255) — one window array + relayout
+    instead of two; outputs ``[k_pad, chunk, 128]`` (packed keys)."""
     l, cs = lookback, chunk
     pid = pl.program_id(0)
-    pxi = pix_ref[l:l + cs, :]
-    xi = pxi & 0x7FFF
-    yi = pxi >> 15
+    pri = pr_ref[l:l + cs, :]
+    xi = (pri >> 8) & 0x7FFF
+    yi = pri >> 23
     ti = t_ref[l:l + cs, :]
-    rki = rk_ref[l:l + cs, :]
+    rki = pri & 255
 
     # key and offset packed in one int32: packed = key * (2*lookback) + d.
     # keys are unique per destination, so the d low bits never change the
@@ -60,16 +61,15 @@ def _select_kernel(lmax_ref, pix_ref, t_ref, rk_ref,
         d0 = 1 + d_block * m
         # one 8-aligned dynamic slab covers offsets d0 .. d0+7
         s0 = l - d0 - (d_block - 1)
-        ps_b = pix_ref[pl.ds(s0, cs + d_block), :]
+        pr_b = pr_ref[pl.ds(s0, cs + d_block), :]
         ts_b = t_ref[pl.ds(s0, cs + d_block), :]
-        rs_b = rk_ref[pl.ds(s0, cs + d_block), :]
         for k in range(d_block):      # static sub-slices of the slab
             d = d0 + (d_block - 1 - k)
-            ps = ps_b[k:k + cs, :]
-            dx = (ps & 0x7FFF) - xi
-            dy = (ps >> 15) - yi
+            prs = pr_b[k:k + cs, :]
+            dx = ((prs >> 8) & 0x7FFF) - xi
+            dy = (prs >> 23) - yi
             ts = ts_b[k:k + cs, :]
-            rs = rs_b[k:k + cs, :]
+            rs = prs & 255
             ok = ((jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
                   & (ti - ts <= delta_t_us) & (rs < q_cap)
                   & (rki <= q_cap))
@@ -128,15 +128,19 @@ def build_graph_pallas(pos: jnp.ndarray,
     x = pos[:, :, 0]
     y = pos[:, :, 1]
     t = pos[:, :, 2]
-    pix = y * jnp.int32(1 << 15) + x      # one packed window array
+    pix = y * jnp.int32(1 << 15) + x
     if ranks is None:   # in-graph fallback (streaming path); the batch
         # pipeline precomputes ranks on the host (native evio)
         ranks = jax.vmap(queue_rank)(pix, valid)
     # encode: valid events clip to [0, Q] (>= Q means evicted from the queue
-    # but still a legal destination); Q+1 marks invalid/padded slots
+    # but still a legal destination); Q+1 marks invalid/padded slots.
+    # pix and rank pack into ONE int32 window (pix < 2^23, rank <= 255):
+    # halves the window relayout + kernel slab reads
+    assert max_queue_size + 1 <= 255
     big = jnp.int32(max_queue_size + 1)
     ranks = jnp.where(valid, jnp.minimum(ranks, jnp.int32(max_queue_size)),
                       big)
+    pr = pix * jnp.int32(256) + ranks
 
     p_total = b * n_chunks
     p_pad = -(-p_total // _LANES) * _LANES
@@ -161,9 +165,8 @@ def build_graph_pallas(pos: jnp.ndarray,
         return jnp.pad(wins, ((0, 0), (0, p_pad - p_total)),
                        constant_values=fill)     # [W, p_pad]
 
-    pw = to_lanes(pix, 0)
+    prw = to_lanes(pr, int(max_queue_size) + 1)  # fill: pix 0, invalid rank
     tw = to_lanes(t, 0)
-    rw = to_lanes(ranks, big)
 
     # per-program dynamic loop bound from the temporal cutoff. One
     # conservative bound per CHUNK (a per-event searchsorted costs a gather
@@ -199,7 +202,7 @@ def build_graph_pallas(pos: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_programs,),
         in_specs=[pl.BlockSpec((w, _LANES), lambda pi, lm: (0, pi))
-                  for _ in range(3)],
+                  for _ in range(2)],
         out_specs=pl.BlockSpec((k_pad, chunk, _LANES),
                                lambda pi, lm: (0, 0, pi)),
     )
@@ -208,7 +211,7 @@ def build_graph_pallas(pos: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k_pad, chunk, p_pad), jnp.int32),
         interpret=interpret,
-    )(lmax, pw, tw, rw)
+    )(lmax, prw, tw)
 
     # [k_pad, chunk, p_pad] -> [B, n_pad, k_other]
     packed = d_sel[:k_other, :, :p_total].transpose(2, 1, 0) \

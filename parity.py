@@ -139,6 +139,14 @@ def main(argv=None):
         "AUC-Frame": frame_metrics.get("auc_frame"),
         "mTTA": tta_metrics.get("mtta"),
         "mRESPONSE": response_metrics.get("mresponse"),
+        # whole-pipeline score digests: on fixture runs the random-init
+        # model's scores sit below the TTA/RESPONSE thresholds (their
+        # metrics are honestly N/A), so these pin the raw score stream the
+        # threshold metrics consume (tests/test_parity_fixture.py)
+        "score_mean": float(np.mean(results["all_scores"]))
+        if len(results["all_scores"]) else None,
+        "score_max": float(np.max(results["all_scores"]))
+        if len(results["all_scores"]) else None,
     }
     mode = "FIXTURE (round-trip converter check, random weights)" \
         if cfg.synthetic_data else "REAL DATA"

@@ -48,7 +48,13 @@ def test_parity_fixture_golden(tmp_path):
 
 
 if __name__ == "__main__":
+    # goldens must come from the CPU backend (the platform tests run on);
+    # the axon TPU plugin ignores JAX_PLATFORMS, force via config too
+    import os
     import tempfile
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     with tempfile.TemporaryDirectory() as td:
         measured = _run(Path(td))
     GOLDEN_FILE.parent.mkdir(exist_ok=True)

@@ -89,6 +89,14 @@ def main():
                                    training=False)
         return scalar(outs[1].x) + scalar(outs[0].x)
 
+    def s_to_level(batch, end_level):
+        g0 = g0_of(batch)
+        feats = cnn_of(batch)
+        outs, _ = backbone_forward(params.dagr.backbone,
+                                   state.dagr.backbone, g0, feats, bc,
+                                   training=False, end_level=end_level)
+        return scalar(outs[-1].x)
+
     def s_level0(batch):
         """graph + cnn + level-0 layer only (pyramid cut after layer 1),
         with the production-path options (fold/tap-range/fused)."""
@@ -121,10 +129,15 @@ def main():
                                img_net=cfg.img_net, training=False)
         return scalar(out.logits)
 
+    import functools
     rows = [
         ("graph build (ranks precomputed)", s_graph),
         ("cnn branch (resnet50 + remaps)", s_cnn),
         ("level-0 layer (incl. graph+cnn)", s_level0),
+        ("thru level-1 (incl. pool1)", functools.partial(s_to_level,
+                                                         end_level=2)),
+        ("thru level-2 (incl. pool2)", functools.partial(s_to_level,
+                                                         end_level=3)),
         ("backbone out4 (incl. graph+cnn)", s_backbone),
         ("full model_forward", s_full),
     ]
@@ -138,10 +151,14 @@ def main():
     g_ms = results["graph build (ranks precomputed)"]
     c_ms = results["cnn branch (resnet50 + remaps)"]
     l0 = results["level-0 layer (incl. graph+cnn)"]
+    l1 = results["thru level-1 (incl. pool1)"]
+    l2 = results["thru level-2 (incl. pool2)"]
     bb = results["backbone out4 (incl. graph+cnn)"]
     full = results["full model_forward"]
     print(f"{'marginal level-0 layer':40s} {l0 - g_ms - c_ms:8.2f} ms")
-    print(f"{'marginal levels 1-4 (pool+layers)':40s} {bb - l0:8.2f} ms")
+    print(f"{'marginal pool1+level-1':40s} {l1 - l0:8.2f} ms")
+    print(f"{'marginal pool2+level-2':40s} {l2 - l1:8.2f} ms")
+    print(f"{'marginal levels 3-4':40s} {bb - l2:8.2f} ms")
     print(f"{'marginal head (boxes+gru)':40s} {full - bb:8.2f} ms")
 
 
