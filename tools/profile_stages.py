@@ -75,7 +75,8 @@ def main():
     def cnn_of(batch):
         feats, _, _ = cnn_branch_forward(params.dagr.cnn, state.dagr.cnn,
                                          batch.image, cfg.img_net,
-                                         training=False)
+                                         training=False,
+                                         compute_dtype=bc.compute_dtype)
         return feats
 
     def s_cnn(batch):
