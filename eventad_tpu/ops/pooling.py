@@ -67,6 +67,7 @@ def pool_graph(x: jnp.ndarray,
     ncells = nx * ny
     m_total = batch_size * ncells
     side = 2 * span + 1
+    assert side * side <= 31, "adjacency bitmask packs into one int32"
     n = x.shape[0]
 
     pc = jnp.clip(pos, 0.0, 0.9999999)
@@ -113,16 +114,20 @@ def pool_graph(x: jnp.ndarray,
     e_ok = e_ok & in_span & not_self
     rel_idx = (rel_y + span) * side + (rel_x + span)
     rel_idx = jnp.clip(rel_idx, 0, side * side - 1)
-    # per-node one-hot rows folded into the combined row scatter below
-    node_counts = jnp.zeros((n, side * side), dtype=jnp.float32)
+    # per-node adjacency as ONE int32 bitmask (bit j = an edge with cell
+    # offset j exists): a K-wide bitwise OR instead of K one-hot adds at
+    # event scale; the 0/1 columns then ride the feature MAX-scatter
+    # (max of 0/1 == OR), so the per-cell bitmap costs no extra scatter
+    bits = jnp.zeros((n,), jnp.int32)
     for k in range(nbr.shape[1]):
-        node_counts = node_counts + jnp.where(
-            e_ok[:, k:k + 1],
-            jax.nn.one_hot(rel_idx[:, k], side * side, dtype=jnp.float32),
-            0.0)
-    add_parts.append(node_counts)
+        bits = bits | jnp.where(e_ok[:, k],
+                                jnp.left_shift(1, rel_idx[:, k]), 0)
+    node_onehot = ((bits[:, None] >> jnp.arange(side * side)) & 1)
 
     # ---- the single combined add-scatter ----
+    if mean_feats:
+        # no max-scatter in the mean path: existence rides the add row
+        add_parts.append(node_onehot.astype(jnp.float32))
     add_rows = jnp.concatenate(add_parts, axis=1)
     acc = jnp.zeros((m_total + 1, add_rows.shape[1]), jnp.float32) \
         .at[cell_safe].add(add_rows)
@@ -132,8 +137,7 @@ def pool_graph(x: jnp.ndarray,
     if mean_feats:
         fsum = acc[:m_total, col:col + x.shape[1]]
         col += x.shape[1]
-    cell_counts = acc[:m_total, col:col + side * side]
-    exist = cell_counts > 0
+        exist = acc[:m_total, col:col + side * side] > 0
 
     pooled_pos = (psum / jnp.maximum(pcnt[:, None], 1.0)).astype(pos.dtype)
     pooled_pos = pooled_pos.at[:, 0].set(
@@ -145,11 +149,16 @@ def pool_graph(x: jnp.ndarray,
     if mean_feats:
         pooled_x = (fsum / jnp.maximum(pcnt[:, None], 1.0)).astype(x.dtype)
     else:
-        accm = jnp.full((m_total + 1, x.shape[1]), -jnp.inf, dtype=x.dtype)
-        xin = jnp.where(node_mask[:, None], x, -jnp.inf)
+        c = x.shape[1]
+        accm = jnp.full((m_total + 1, c + side * side), -jnp.inf,
+                        dtype=x.dtype)
+        xin = jnp.concatenate(
+            [jnp.where(node_mask[:, None], x, -jnp.inf),
+             node_onehot.astype(x.dtype)], axis=1)
         accm = accm.at[cell_safe].max(xin)
-        pooled_x = accm[:m_total]
+        pooled_x = accm[:m_total, :c]
         pooled_x = jnp.where(jnp.isfinite(pooled_x), pooled_x, 0.0)
+        exist = accm[:m_total, c:] > 0
 
     # neighbour indices decoded arithmetically from the bitmap slots
     cells = jnp.arange(m_total, dtype=jnp.int32)
@@ -164,15 +173,24 @@ def pool_graph(x: jnp.ndarray,
     in_fov = (nxs >= 0) & (nxs < nx) & (nys >= 0) & (nys < ny)
     nbr_out = cb[:, None] * ncells + jnp.clip(nys, 0, ny - 1) * nx \
         + jnp.clip(nxs, 0, nx - 1)
+    # source-cell activity/tmax: dense 2-D shifts of the grid-shaped
+    # column (slot order matches neighbor_rows), not an [M, S] gather
+    from ..models.graph import neighbor_rows
     mask_out = exist & in_fov & active[:, None]
-    mask_out = mask_out & active[jnp.clip(nbr_out, 0, m_total - 1)]
+    act_nbr = neighbor_rows(active[:, None].astype(jnp.float32), grid,
+                            batch_size, span)[..., 0] > 0
+    mask_out = mask_out & act_nbr
 
     if keep_temporal_ordering:  # pooling.py:69-72
         tmax = jnp.full((m_total + 1,), -jnp.inf, dtype=pos.dtype)
         tmax = tmax.at[cell_safe].max(
             jnp.where(node_mask, pos[:, 2], -jnp.inf))[:m_total]
-        mask_out = mask_out & (
-            tmax[:, None] > tmax[jnp.clip(nbr_out, 0, m_total - 1)])
+        tmax_nbr = neighbor_rows(
+            jnp.where(jnp.isfinite(tmax), tmax, -jnp.inf)[:, None], grid,
+            batch_size, span)[..., 0]
+        # out-of-grid slots come back 0 from the shift; they are already
+        # masked by in_fov above
+        mask_out = mask_out & (tmax[:, None] > tmax_nbr)
 
     nbr_out = jnp.where(mask_out, nbr_out, 0)
     pooled_x = jnp.where(active[:, None], pooled_x, 0.0)
