@@ -141,12 +141,12 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     if attr is not None and s0:
         attr = attr[:, s0:]
 
-    def rows_of(src):
+    def rows_of(src, parts=2):
         if grid is not None:
             return neighbor_rows(src, grid, batch_size, span)
         from ..ops.gather_window import gather_rows_auto
         return gather_rows_auto(src, nbr, nbr_mask,
-                                lookback=gather_lookback)
+                                lookback=gather_lookback, parts=parts)
 
     if dt != jnp.float32:
         # cast weights once; positions/attrs are derived in f32 then cast
@@ -190,10 +190,12 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     elif attr is None:
         # combined row fetch stays f32 (gather cost is index-dominated, and
         # positions must stay exact — cell assignment & attrs derive from
-        # them); features cast to the compute dtype afterwards
+        # them); parts=3 makes the Pallas reconstruction bit-exact so the
+        # riding positions cannot flip a floor-based cell assignment;
+        # features cast to the compute dtype afterwards
         src = jnp.concatenate([g.pos[:, :2], x_in.astype(jnp.float32)],
                               axis=1)
-        rows = rows_of(src)
+        rows = rows_of(src, parts=3)
         pos_nbr = rows[..., :2]
         x_j1 = rows[..., 2:].astype(dt)
         a = (g.pos[:, None, :2] - pos_nbr) / (2.0 * cart_max) + 0.5

@@ -166,19 +166,21 @@ def gather_window_rows(src: jnp.ndarray,
     return out.reshape(n_pad, k, _P)[:n, :, :c]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _gather_window_diff(src, nbr, nbr_mask, lookback, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gather_window_diff(src, nbr, nbr_mask, lookback, interpret=False,
+                        parts=2):
     return gather_window_rows(src, nbr, nbr_mask, lookback=lookback,
-                              interpret=interpret)
+                              interpret=interpret, parts=parts)
 
 
-def _gather_window_fwd(src, nbr, nbr_mask, lookback, interpret=False):
+def _gather_window_fwd(src, nbr, nbr_mask, lookback, interpret=False,
+                       parts=2):
     out = gather_window_rows(src, nbr, nbr_mask, lookback=lookback,
-                             interpret=interpret)
+                             interpret=interpret, parts=parts)
     return out, (nbr, nbr_mask, jax.ShapeDtypeStruct(src.shape, src.dtype))
 
 
-def _gather_window_bwd(lookback, interpret, res, g):
+def _gather_window_bwd(lookback, interpret, parts, res, g):
     # the gather is linear in src: transpose = masked row scatter-add
     # (pallas_call has no autodiff rule; the detector trains THROUGH the
     # backbone, unlike the frozen-DAGR anomaly path)
@@ -191,11 +193,16 @@ def _gather_window_bwd(lookback, interpret, res, g):
 _gather_window_diff.defvjp(_gather_window_fwd, _gather_window_bwd)
 
 
-def gather_rows_auto(src, nbr, nbr_mask, *, lookback: int = 0):
+def gather_rows_auto(src, nbr, nbr_mask, *, lookback: int = 0,
+                     parts: int = 2):
     """Dispatch: windowed Pallas kernel on TPU when a window contract is
     declared (lookback > 0), plain XLA gather otherwise. Differentiable in
-    ``src`` (custom VJP — the transpose is a masked row scatter-add)."""
+    ``src`` (custom VJP — the transpose is a masked row scatter-add).
+    ``parts=3`` makes the f32 reconstruction exact — required when exact
+    values (e.g. positions feeding floor-based cell assignment) ride the
+    gathered row."""
     if (lookback > 0 and src.dtype in (jnp.float32, jnp.bfloat16)
             and jax.default_backend() == "tpu"):
-        return _gather_window_diff(src, nbr, nbr_mask, lookback)
+        return _gather_window_diff(src, nbr, nbr_mask, lookback, False,
+                                   parts)
     return jnp.where(nbr_mask[..., None], src[nbr], 0.0)
