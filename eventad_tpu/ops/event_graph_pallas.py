@@ -54,15 +54,19 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
     d_span = np.int32(2 * lookback)
     packed_invalid = np.int32((2**30) // d_span * d_span)
 
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_pad, cs, _LANES), 0)
     d_block = 8    # offsets per iteration; keeps slab starts 8-aligned
 
     def _step(m, top):
         d0 = 1 + d_block * m
         # one 8-aligned dynamic slab covers offsets d0 .. d0+7
-        s0 = l - d0 - (d_block - 1)
-        pr_b = pr_ref[pl.ds(s0, cs + d_block), :]
-        ts_b = t_ref[pl.ds(s0, cs + d_block), :]
+        pr_b = pr_ref[pl.ds(l - d0 - (d_block - 1), cs + d_block), :]
+        ts_b = t_ref[pl.ds(l - d0 - (d_block - 1), cs + d_block), :]
+        # sorted top-K as a list of rows; each candidate displaces the
+        # tail then bubbles toward the head with compare-swaps — keys are
+        # unique, so a single min/max chain restores sorted order at ~1/3
+        # the VPU traffic of a count-and-shift insertion over the full
+        # [k_pad, cs, 128] state
+        rows = [top[i] for i in range(k_pad)]
         for k in range(d_block):      # static sub-slices of the slab
             d = d0 + (d_block - 1 - k)
             prs = pr_b[k:k + cs, :]
@@ -75,14 +79,12 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
                   & (rki <= q_cap))
             key = spiral_index(dx, dy) * q_cap + rs
             pk = jnp.where(ok, key * d_span + d, packed_invalid)
-            kv = pk[None]
-            pos = jnp.sum((top < kv).astype(jnp.int32), axis=0)
-            shift = slot_ids >= pos[None]
-            insert = slot_ids == pos[None]
-            prev = jnp.roll(top, 1, axis=0)
-            new = jnp.where(insert, kv, jnp.where(shift, prev, top))
-            top = jnp.where(kv < packed_invalid, new, top)
-        return top
+            rows[k_pad - 1] = jnp.minimum(rows[k_pad - 1], pk)
+            for i in range(k_pad - 1, 0, -1):
+                a, b = rows[i - 1], rows[i]
+                rows[i - 1] = jnp.minimum(a, b)
+                rows[i] = jnp.maximum(a, b)
+        return jnp.stack(rows, axis=0)
 
     lmax = lmax_ref[pid]
     n_steps = jnp.minimum((lmax + d_block - 1) // d_block, l // d_block)
