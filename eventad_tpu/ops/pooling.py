@@ -67,7 +67,10 @@ def pool_graph(x: jnp.ndarray,
     ncells = nx * ny
     m_total = batch_size * ncells
     side = 2 * span + 1
-    assert side * side <= 31, "adjacency bitmask packs into one int32"
+    # adjacency bitmap width: 31 usable bits per int32 word (the sign bit
+    # must stay clear so 0/1 expansion can ride a max-scatter); span=2
+    # (25 offsets) packs into one word, larger spans split across words
+    nwords = -(-(side * side) // 31)
     n = x.shape[0]
 
     pc = jnp.clip(pos, 0.0, 0.9999999)
@@ -114,15 +117,28 @@ def pool_graph(x: jnp.ndarray,
     e_ok = e_ok & in_span & not_self
     rel_idx = (rel_y + span) * side + (rel_x + span)
     rel_idx = jnp.clip(rel_idx, 0, side * side - 1)
-    # per-node adjacency as ONE int32 bitmask (bit j = an edge with cell
-    # offset j exists): a K-wide bitwise OR instead of K one-hot adds at
-    # event scale; the 0/1 columns then ride the feature MAX-scatter
+    # per-node adjacency as int32 bitmask word(s) (bit j = an edge with
+    # cell offset j exists): a K-wide bitwise OR instead of K one-hot adds
+    # at event scale; the 0/1 columns then ride the feature MAX-scatter
     # (max of 0/1 == OR), so the per-cell bitmap costs no extra scatter
-    bits = jnp.zeros((n,), jnp.int32)
-    for k in range(nbr.shape[1]):
-        bits = bits | jnp.where(e_ok[:, k],
-                                jnp.left_shift(1, rel_idx[:, k]), 0)
-    node_onehot = ((bits[:, None] >> jnp.arange(side * side)) & 1)
+    if nwords == 1:
+        bits = jnp.zeros((n,), jnp.int32)
+        for k in range(nbr.shape[1]):
+            bits = bits | jnp.where(e_ok[:, k],
+                                    jnp.left_shift(1, rel_idx[:, k]), 0)
+        node_onehot = ((bits[:, None] >> jnp.arange(side * side)) & 1)
+    else:
+        words = [jnp.zeros((n,), jnp.int32) for _ in range(nwords)]
+        for k in range(nbr.shape[1]):
+            sh = jnp.where(e_ok[:, k],
+                           jnp.left_shift(1, rel_idx[:, k] % 31), 0)
+            wsel = rel_idx[:, k] // 31
+            for wi in range(nwords):
+                words[wi] = words[wi] | jnp.where(wsel == wi, sh, 0)
+        node_onehot = jnp.concatenate(
+            [(words[wi][:, None]
+              >> jnp.arange(min(31, side * side - 31 * wi))) & 1
+             for wi in range(nwords)], axis=1)
 
     # ---- the single combined add-scatter ----
     if mean_feats:
