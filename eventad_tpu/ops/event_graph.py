@@ -133,16 +133,20 @@ def spiral_index(dx: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     up the right edge, left along the top, down the left edge, right along
     the bottom, ending at (r, -r) with index (2r+1)^2 - 1 (spiral.h:8-14).
     """
-    r = jnp.maximum(jnp.abs(dx), jnp.abs(dy))
-    base = (2 * r - 1) * (2 * r - 1)
-    right = base + (dy + r - 1)                    # dx == r, dy > -r
-    top = base + 2 * r + (r - 1 - dx)              # dy == r
-    left = base + 4 * r + (r - 1 - dy)             # dx == -r
-    bottom = base + 6 * r + (dx + r - 1)           # dy == -r, dx > -r
-    idx = jnp.where((dx == r) & (dy > -r), right,
-                    jnp.where(dy == r, top,
-                              jnp.where(dx == -r, left, bottom)))
-    return jnp.where(r == 0, 0, idx)
+    # Rotated-coordinate form (~18 VPU ops vs ~33 for the 4-edge select):
+    # with u = dx+dy, s = dy-dx, the ring is r = (|u|+|s|)/2 and the four
+    # per-edge linear pieces collapse to two:
+    #   right/top edges:  idx = 4r^2 - 2r + s   (dx==r & dy>-r, or dy==r)
+    #   left/bottom:      idx = 4r^2 + 2r - s
+    # The branch condition is u > 0, with the two u == 0 corners split by
+    # the sign of s (top-left s=2r>0 belongs right/top; bottom-right
+    # s=-2r<0 belongs left/bottom). r = 0 falls out naturally (idx = 0).
+    u = dx + dy
+    s = dy - dx
+    r = (jnp.abs(u) + jnp.abs(s)) >> 1
+    v = s - 2 * r
+    upper = (u > 0) | ((u == 0) & (s > 0))
+    return 4 * r * r + jnp.where(upper, v, -v)
 
 
 # ---------------------------------------------------------------------------

@@ -27,10 +27,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .event_graph import queue_rank, spiral_index, spiral_offset
+from .event_graph import queue_rank, spiral_offset
 
 _INVALID = np.int32(2**31 - 1)
 _LANES = 128
+
+# Batcher odd-even mergesort network for 8 elements (19 comparators):
+# sort each half [(0..3), (4..7)] then odd-even merge. Verified against
+# the 0-1 principle in tests/test_event_graph_pallas.py.
+_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
+          (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6),
+          (0, 4), (1, 5), (2, 6), (3, 7),
+          (2, 4), (3, 5),
+          (1, 2), (3, 4), (5, 6)]
 
 
 def _select_kernel(lmax_ref, pr_ref, t_ref,
@@ -47,6 +57,11 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
     yi = pri >> 23
     ti = t_ref[l:l + cs, :]
     rki = pri & 255
+    # fold destination validity (rki <= q_cap) into the radius check by
+    # poisoning x: dx becomes ~2^20 so the ring test fails — saves an AND
+    # per candidate over the whole scan
+    xip = jnp.where(rki <= q_cap, xi, jnp.int32(1 << 20))
+    tth = ti - delta_t_us          # candidate passes iff ts >= tth
 
     # key and offset packed in one int32: packed = key * (2*lookback) + d.
     # keys are unique per destination, so the d low bits never change the
@@ -56,34 +71,68 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
 
     d_block = 8    # offsets per iteration; keeps slab starts 8-aligned
 
+    bitonic = (k_pad & (k_pad - 1)) == 0 and d_block <= k_pad
+
     def _step(m, top):
         d0 = 1 + d_block * m
         # one 8-aligned dynamic slab covers offsets d0 .. d0+7
         pr_b = pr_ref[pl.ds(l - d0 - (d_block - 1), cs + d_block), :]
         ts_b = t_ref[pl.ds(l - d0 - (d_block - 1), cs + d_block), :]
-        # sorted top-K as a list of rows; each candidate displaces the
-        # tail then bubbles toward the head with compare-swaps — keys are
-        # unique, so a single min/max chain restores sorted order at ~1/3
-        # the VPU traffic of a count-and-shift insertion over the full
-        # [k_pad, cs, 128] state
-        rows = [top[i] for i in range(k_pad)]
+        # unpack once per slab (vs once per candidate sub-slice)
+        xs_b = (pr_b >> 8) & 0x7FFF
+        ys_b = pr_b >> 23
+        rs_b = pr_b & 255
+        cand = []
         for k in range(d_block):      # static sub-slices of the slab
             d = d0 + (d_block - 1 - k)
-            prs = pr_b[k:k + cs, :]
-            dx = ((prs >> 8) & 0x7FFF) - xi
-            dy = (prs >> 23) - yi
-            ts = ts_b[k:k + cs, :]
-            rs = prs & 255
-            ok = ((jnp.abs(dx) <= radius) & (jnp.abs(dy) <= radius)
-                  & (ti - ts <= delta_t_us) & (rs < q_cap)
-                  & (rki <= q_cap))
-            key = spiral_index(dx, dy) * q_cap + rs
-            pk = jnp.where(ok, key * d_span + d, packed_invalid)
-            rows[k_pad - 1] = jnp.minimum(rows[k_pad - 1], pk)
-            for i in range(k_pad - 1, 0, -1):
-                a, b = rows[i - 1], rows[i]
-                rows[i - 1] = jnp.minimum(a, b)
-                rows[i] = jnp.maximum(a, b)
+            dx = xs_b[k:k + cs, :] - xip
+            dy = ys_b[k:k + cs, :] - yi
+            # rotated-coordinate spiral index (see event_graph.spiral_index)
+            # — the ring r doubles as the radius check
+            uu = dx + dy
+            ss = dy - dx
+            rr = (jnp.abs(uu) + jnp.abs(ss)) >> 1
+            upper = (uu > 0) | ((uu == 0) & (ss > 0))
+            vv = ss - 2 * rr
+            spi = 4 * rr * rr + jnp.where(upper, vv, -vv)
+            rs = rs_b[k:k + cs, :]
+            ok = ((rr <= radius) & (ts_b[k:k + cs, :] >= tth)
+                  & (rs < q_cap))
+            pk = jnp.where(ok, (spi * q_cap + rs) * d_span + d,
+                           packed_invalid)
+            cand.append(pk)
+        rows = [top[i] for i in range(k_pad)]
+        if bitonic:
+            # merge all d_block candidates at once: sort them descending
+            # (19-comparator Batcher network), take the elementwise min
+            # against the sorted-ascending tail — the low half of the
+            # bitonic concat [rows asc | +inf.. cand desc] — then restore
+            # sorted order with one bitonic sweep. ~14 VPU ops per
+            # candidate vs ~31 for per-candidate bubble insertion.
+            for i, j in _SORT8:
+                a, b = cand[i], cand[j]
+                cand[i] = jnp.maximum(a, b)
+                cand[j] = jnp.minimum(a, b)
+            base = k_pad - d_block
+            for j in range(d_block):
+                rows[base + j] = jnp.minimum(rows[base + j], cand[j])
+            dd = k_pad >> 1
+            while dd:
+                for i in range(k_pad):
+                    if (i & dd) == 0:
+                        a, b = rows[i], rows[i + dd]
+                        rows[i] = jnp.minimum(a, b)
+                        rows[i + dd] = jnp.maximum(a, b)
+                dd >>= 1
+        else:
+            # fallback (k_pad not a power of two): per-candidate bubble
+            # insertion — displace the tail, compare-swap toward the head
+            for pk in cand:
+                rows[k_pad - 1] = jnp.minimum(rows[k_pad - 1], pk)
+                for i in range(k_pad - 1, 0, -1):
+                    a, b = rows[i - 1], rows[i]
+                    rows[i - 1] = jnp.minimum(a, b)
+                    rows[i] = jnp.maximum(a, b)
         return jnp.stack(rows, axis=0)
 
     lmax = lmax_ref[pid]
