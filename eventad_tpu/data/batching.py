@@ -40,6 +40,10 @@ class EventBatch(NamedTuple):
     bbox_mask: np.ndarray    # [B, D] bool
     bbox0: np.ndarray        # [B, D, 6]
     bbox0_mask: np.ndarray   # [B, D]
+    # host-precomputed pooled-position tables [B, sum_l nx*ny, 4]
+    # (data/pool_tables.py) — parameter-independent halves of the voxel
+    # poolings, computed while the batch is assembled like `rank`
+    pool_tables: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -76,6 +80,8 @@ def _batch_specs(cfg, n_cap: int, d: int = MAX_DETECTIONS):
         ("bbox_mask", np.bool_, (b, d)),
         ("bbox0", np.float32, (b, d, 6)),
         ("bbox0_mask", np.bool_, (b, d)),
+        ("pool_tables", np.float32,
+         (b, sum(nx * ny for nx, ny in cfg.grid_dims()), 4)),
     ]
 
 
@@ -226,8 +232,11 @@ def collate(items: List[Item], cfg: Config,
         seqs.append(it.sequence)
         fids.append(it.frame_id)
 
+    from .pool_tables import batch_pool_tables
+    tables = batch_pool_tables(pos, valid, cfg.grid_dims(), w, h,
+                               cfg.time_window_us)
     batch = EventBatch(pos, pol, valid, rank, image, boxes, present,
-                       labels, bbox, bbox_m, bbox0, bbox0_m)
+                       labels, bbox, bbox_m, bbox0, bbox0_m, tables)
     return batch, BatchMeta(seqs, fids, len(items[:bsz]), truncated)
 
 

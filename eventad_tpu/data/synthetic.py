@@ -51,5 +51,8 @@ def make_synthetic_batch(cfg: Config, seed: int = 0,
             bbox_m[bi, k] = True
             bbox0[bi, k] = (bx, by, bw, bh, cls, tid)
             bbox0_m[bi, k] = True
+    from .pool_tables import batch_pool_tables
+    tables = batch_pool_tables(pos, valid, cfg.grid_dims(), w, h,
+                               cfg.time_window_us)
     return EventBatch(pos, pol, valid, rank, image, boxes, present,
-                      labels, bbox, bbox_m, bbox0, bbox0_m)
+                      labels, bbox, bbox_m, bbox0, bbox0_m, tables)

@@ -342,12 +342,17 @@ def backbone_forward(params: BackboneParams,
                      training: bool = False,
                      start_level: int = 0,
                      end_level: int = 5,
-                     pos_src0=None):
+                     pos_src0=None,
+                     pool_tables=None):
     """Runs the 5-block pyramid.
 
     Args:
       g0: level-0 event graph; ``g0.x`` is the polarity feature ``[N, 1]``.
       image_feats: 5 NHWC maps (remapped CNN pyramid) or None.
+      pool_tables: optional ``[B, sum_l nx*ny, 4]`` host-precomputed
+        position tables (data/pool_tables.py), stacked over pooled levels
+        in grid order; replaces each max-aggr pooling's position
+        add-scatter.
 
     Returns ``(out3, out4), new_state`` where out3/out4 are Graphs at the
     pool-3 / pool-4 cell tables (reference net.py:165-184).
@@ -412,13 +417,18 @@ def backbone_forward(params: BackboneParams,
             # slot is the self edge, which pooling discards anyway)
             s0 = (g.nbr.shape[1] - pos_nbr.shape[1]
                   if pos_nbr is not None else 0)
+            ht = None
+            if pool_tables is not None and aggr == "max":
+                from ..data.pool_tables import table_slices
+                lo, hi = table_slices(bc.grids)[level - 1]
+                ht = pool_tables[:, lo:hi].reshape(-1, 4)
             pooled = pool_graph(
                 g.x, g.pos, g.nbr[:, s0:], g.nbr_mask[:, s0:], g.node_mask,
                 g.batch,
                 grid=bc.grids[level - 1], batch_size=bc.batch_size,
                 width=bc.width, height=bc.height, aggr=aggr,
                 span=2, keep_temporal_ordering=bc.keep_temporal_ordering,
-                pos_src=pos_nbr)
+                pos_src=pos_nbr, host_table=ht)
             g = Graph(pooled.x, pooled.pos, pooled.nbr, pooled.nbr_mask,
                       pooled.node_mask, pooled.batch)
         else:

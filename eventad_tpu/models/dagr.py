@@ -106,7 +106,8 @@ def dagr_extract_features(params: DAGRParams, state: DAGRState,
                           pos, polarity, valid, image,
                           bc: BackboneConfig, gsc: tuple, *,
                           img_net: str = "resnet50",
-                          training: bool = False, ranks=None):
+                          training: bool = False, ranks=None,
+                          pool_tables=None):
     """Frozen-DAGR feature path (reference dagr.py:108-130): returns
     (out3, out4) graphs + new state. Gradients are stopped by the caller."""
     g0 = build_level0_graph(pos, polarity, valid, gsc, ranks)
@@ -118,7 +119,8 @@ def dagr_extract_features(params: DAGRParams, state: DAGRState,
                                            compute_dtype=bc.compute_dtype)
         image_feats = feats
     outs, nbs = backbone_forward(params.backbone, state.backbone, g0,
-                                 image_feats, bc, training=training)
+                                 image_feats, bc, training=training,
+                                 pool_tables=pool_tables)
     return outs, DAGRState(nbs, ncs)
 
 
@@ -141,7 +143,8 @@ def model_forward(params: ModelParams,
     outs, nds = dagr_extract_features(
         params.dagr, state.dagr, batch.pos, batch.polarity, batch.valid,
         batch.image, bc, gsc, img_net=img_net, training=False,
-        ranks=getattr(batch, "rank", None))
+        ranks=getattr(batch, "rank", None),
+        pool_tables=getattr(batch, "pool_tables", None))
     out4 = outs[1]
     out4 = out4._replace(x=jax.lax.stop_gradient(out4.x))
 

@@ -64,7 +64,9 @@ def detector_forward(params: DetectorParams,
             params.dagr.cnn, state.dagr.cnn, batch.image, cfg.img_net,
             training=False, compute_dtype=bc.compute_dtype)
     outs, nbs = backbone_forward(params.dagr.backbone, state.dagr.backbone,
-                                 g0, image_feats, bc, training=training)
+                                 g0, image_feats, bc, training=training,
+                                 pool_tables=getattr(batch, 'pool_tables',
+                                                     None))
 
     grids = [bc.grids[2], bc.grids[3]]
     out_sizes = [(g[1], g[0]) for g in grids]     # (ny, nx)

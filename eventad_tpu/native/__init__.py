@@ -61,8 +61,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.zoom_subsample.restype = _i64
             lib.zoom_subsample.argtypes = [
                 i32p, i32p, i8p, _i64, _i32, _i32, ctypes.c_float, u8p]
+            f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+            lib.pool_tables.restype = None
+            lib.pool_tables.argtypes = [
+                i32p, u8p, _i64, _i32, _i32, _i32, i32p, _i32, f32p]
             _LIB = lib
     return _LIB
+
+
+def pool_tables(pos: np.ndarray, valid: np.ndarray, grids,
+                width: int, height: int,
+                time_window: int) -> Optional[np.ndarray]:
+    """Cascaded pooled-position tables for one item (see
+    data/pool_tables.py for the contract). Returns None when the native
+    library is unavailable (caller falls back to the numpy oracle)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, np.int32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    g = np.ascontiguousarray(np.asarray(grids, np.int32).reshape(-1))
+    total = int(sum(nx * ny for nx, ny in grids))
+    out = np.empty((total, 4), np.float32)
+    lib.pool_tables(pos, valid, len(valid), width, height, time_window,
+                    g, len(grids), out)
+    return out
 
 
 def queue_ranks(x: np.ndarray, y: np.ndarray, width: int,

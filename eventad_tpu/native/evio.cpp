@@ -10,9 +10,10 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC evio.cpp -o libevio.so
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <algorithm>
 
 extern "C" {
 
@@ -167,6 +168,76 @@ int64_t zoom_subsample(
     }
     delete[] count;
     return kept;
+}
+
+// Cascaded pooled-position tables (the parameter-independent half of voxel
+// pooling, see eventad_tpu/data/pool_tables.py for the contract): per level
+// accumulate [sum_x, sum_y, sum_t, count] over member nodes of each cell,
+// in event order with f32 arithmetic — the same IEEE single ops the device
+// path (ops/pooling.pool_graph) and the numpy oracle perform.
+// pos: [n, 3] int32 (x, y, t_us) raw events; grids: [nlevels*2] (nx, ny);
+// out: [sum_l nx*ny, 4] f32, levels concatenated.
+void pool_tables(
+    const int32_t* pos, const uint8_t* valid, int64_t n,
+    int32_t width, int32_t height, int32_t time_window,
+    const int32_t* grids, int32_t nlevels, float* out)
+{
+    const float clip_hi = 0.9999999f;
+    const float eps = 1e-5f;
+    const float denom[3] = {(float)width, (float)height,
+                            (float)time_window};
+    // normalized positions of the current level's nodes
+    int64_t cap = n;
+    for (int32_t l = 0; l < nlevels; ++l)
+        cap = std::max(cap, (int64_t)grids[2 * l] * grids[2 * l + 1]);
+    float* cur = new float[cap * 3];
+    float* nxt = new float[cap * 3];
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (!valid[i]) continue;
+        for (int k = 0; k < 3; ++k)
+            cur[m * 3 + k] = (float)pos[i * 3 + k] / denom[k];
+        ++m;
+    }
+    float* acc = out;
+    for (int32_t l = 0; l < nlevels; ++l) {
+        int32_t nx = grids[2 * l], ny = grids[2 * l + 1];
+        int64_t cells = (int64_t)nx * ny;
+        std::memset(acc, 0, cells * 4 * sizeof(float));
+        for (int64_t i = 0; i < m; ++i) {
+            float px = cur[i * 3 + 0], py = cur[i * 3 + 1];
+            px = std::min(std::max(px, 0.f), clip_hi);
+            py = std::min(std::max(py, 0.f), clip_hi);
+            int64_t c = (int64_t)std::floor(py * (float)ny) * nx
+                      + (int64_t)std::floor(px * (float)nx);
+            acc[c * 4 + 0] += cur[i * 3 + 0];
+            acc[c * 4 + 1] += cur[i * 3 + 1];
+            acc[c * 4 + 2] += cur[i * 3 + 2];
+            acc[c * 4 + 3] += 1.f;
+        }
+        // next level pools the pooled positions of active cells after the
+        // same mean + pixel rounding the device applies
+        int64_t mm = 0;
+        for (int64_t c = 0; c < cells; ++c) {
+            float cnt = acc[c * 4 + 3];
+            if (!(cnt > 0.f)) continue;
+            float inv = std::max(cnt, 1.f);
+            float px = acc[c * 4 + 0] / inv;
+            float py = acc[c * 4 + 1] / inv;
+            float pt = acc[c * 4 + 2] / inv;
+            nxt[mm * 3 + 0] =
+                std::floor((px + eps) * (float)width) / (float)width;
+            nxt[mm * 3 + 1] =
+                std::floor((py + eps) * (float)height) / (float)height;
+            nxt[mm * 3 + 2] = pt;
+            ++mm;
+        }
+        std::swap(cur, nxt);
+        m = mm;
+        acc += cells * 4;
+    }
+    delete[] cur;
+    delete[] nxt;
 }
 
 }  // extern "C"

@@ -51,12 +51,18 @@ def pool_graph(x: jnp.ndarray,
                aggr: str = "max",
                span: int = 2,
                keep_temporal_ordering: bool = False,
-               pos_src: jnp.ndarray = None) -> PooledGraph:
+               pos_src: jnp.ndarray = None,
+               host_table: jnp.ndarray = None) -> PooledGraph:
     """Args:
       x ``[N, C]``, pos ``[N, 3]`` normalized, nbr/nbr_mask ``[N, K]``,
       node_mask ``[N]``, batch ``[N]`` int32 item ids.
       grid: (nx, ny) cells of this level.
       span: max |cell offset| an edge can reach (asserted by tests).
+      host_table: optional ``[batch_size*nx*ny, 4]`` f32
+        ``[sum_x, sum_y, sum_t, count]`` per cell, precomputed on the host
+        (data/pool_tables.py) — replaces the per-index-bound position
+        add-scatter; sums differ from the device scatter only in f32
+        accumulation order.
       pos_src: optional pre-gathered neighbour positions ``[N, K, 2]``
         (normalized) — avoids re-gathering ``cell[nbr]`` (TPU gathers cost
         a full tile per index; the conv already gathered these rows).
@@ -87,8 +93,11 @@ def pool_graph(x: jnp.ndarray,
     if aggr not in ("max", "mean"):
         raise ValueError(aggr)
 
-    add_parts = [jnp.where(node_mask[:, None], pos, 0.0).astype(jnp.float32),
-                 node_mask[:, None].astype(jnp.float32)]
+    add_parts = []
+    if host_table is None:
+        add_parts += [
+            jnp.where(node_mask[:, None], pos, 0.0).astype(jnp.float32),
+            node_mask[:, None].astype(jnp.float32)]
     if mean_feats:
         add_parts.append(
             jnp.where(node_mask[:, None], x, 0).astype(jnp.float32))
@@ -140,16 +149,23 @@ def pool_graph(x: jnp.ndarray,
               >> jnp.arange(min(31, side * side - 31 * wi))) & 1
              for wi in range(nwords)], axis=1)
 
-    # ---- the single combined add-scatter ----
+    # ---- the single combined add-scatter (skipped entirely in the
+    # max-aggr path when the host shipped the position table) ----
     if mean_feats:
         # no max-scatter in the mean path: existence rides the add row
         add_parts.append(node_onehot.astype(jnp.float32))
-    add_rows = jnp.concatenate(add_parts, axis=1)
-    acc = jnp.zeros((m_total + 1, add_rows.shape[1]), jnp.float32) \
-        .at[cell_safe].add(add_rows)
-    psum = acc[:m_total, :3]
-    pcnt = acc[:m_total, 3]
-    col = 4
+    if add_parts:
+        add_rows = jnp.concatenate(add_parts, axis=1)
+        acc = jnp.zeros((m_total + 1, add_rows.shape[1]), jnp.float32) \
+            .at[cell_safe].add(add_rows)
+    if host_table is None:
+        psum = acc[:m_total, :3]
+        pcnt = acc[:m_total, 3]
+        col = 4
+    else:
+        psum = host_table[:, :3]
+        pcnt = host_table[:, 3]
+        col = 0
     if mean_feats:
         fsum = acc[:m_total, col:col + x.shape[1]]
         col += x.shape[1]
