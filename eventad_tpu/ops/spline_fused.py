@@ -83,11 +83,7 @@ def _fused_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm, wT_ref,
     xjT[...] = jnp.zeros_like(xjT)
     dma(0, 0).start()
 
-    # the one-hot compare runs in bfloat16: window-relative indices are
-    # < 2^11, exactly representable, and 16-bit lanes double VPU density
-    # on the kernel's single biggest term ([K, SUB, t] per chunk)
-    w_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (1, _SUB, t), 1).astype(jnp.bfloat16)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _SUB, t), 1)
     rel_all = relq_ref[...]                          # [K, t]
     rel3 = rel_all.reshape(k, 1, t)
 
@@ -101,12 +97,8 @@ def _fused_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm, wT_ref,
         dma(slot, s).wait()
         w0 = w_total - (s + 1) * _SUB
         win_b = win[slot]                            # [C8, SUB] bf16
-        # one-hot for ALL slots in one compare+cast over [K, SUB, t];
-        # rel - w0 first: a [K, 1, t] subtract, then a bf16 broadcast
-        # compare against the iota (masked slots are -1 - w0 < 0: never
-        # equal to any in-window iota)
-        rel_c = (rel3 - w0).astype(jnp.bfloat16)
-        oh3 = (rel_c == w_iota).astype(jnp.bfloat16)
+        # one-hot for ALL slots in one compare+cast over [K, SUB, t]
+        oh3 = (rel3 == w_iota + w0).astype(jnp.bfloat16)
         for kk in range(k):
             xjT[kk] += jnp.dot(win_b, oh3[kk],
                                preferred_element_type=jnp.float32)
