@@ -52,6 +52,37 @@ def _bn_apply(x, p, s, training, momentum=0.1, eps=1e-5):
     return x * a.astype(x.dtype) + b.astype(x.dtype), s
 
 
+def _stem_conv_s2d(x, w):
+    """conv1 (7x7, stride 2, pad 3) via 2x2 space-to-depth.
+
+    A stride-2 conv on 3 input channels runs the MXU at 3/8 of even its
+    padded-channel tiling; regrouping 2x2 input pixels into channels makes
+    it an equivalent 4x4 stride-1 conv on 12 channels at half the spatial
+    rows (same math, ~3x less device time for the stem on TPU).
+
+    Derivation: out[i,j] reads input rows 2i+dy-3, dy in [0,7).  Writing
+    the offset r = dy-3 as 2R+py (py = r mod 2) maps each kernel row to
+    s2d row offset R in [-2,1] and sub-pixel py — a 4-tap kernel over the
+    s2d grid with padding (2,1).  (R=-2, py=0) has no source row (dy=-1)
+    and stays zero.
+    """
+    b, h, wd, c = x.shape
+    if h % 2 or wd % 2:
+        return _conv(x, w, stride=2, padding=[(3, 3), (3, 3)])
+    x2 = x.reshape(b, h // 2, 2, wd // 2, 2, c)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c)
+    # w: [7,7,C,O] -> w2: [4,4,4C,O] with channel packing (py, px, c)
+    cout = w.shape[-1]
+    w2 = jnp.zeros((4, 4, 4 * c, cout), w.dtype)
+    for dy in range(7):
+        ry, py = (dy - 3) // 2 + 2, (dy - 3) % 2
+        for dx in range(7):
+            rx, px = (dx - 3) // 2 + 2, (dx - 3) % 2
+            w2 = w2.at[ry, rx, (py * 2 + px) * c:(py * 2 + px) * c + c].set(
+                w[dy, dx])
+    return _conv(x2, w2, stride=1, padding=[(2, 1), (2, 1)])
+
+
 def _init_conv(key, kh, kw, cin, cout):
     fan = kh * kw * cin
     std = (2.0 / fan) ** 0.5
@@ -135,7 +166,7 @@ def resnet_forward(params, state, x, arch: str = "resnet50",
     _, expansion = LAYER_SPECS[arch]
     ns: Dict = {}
     taps: Dict = {}
-    h = _conv(x, params["conv1"], stride=2, padding=[(3, 3), (3, 3)])
+    h = _stem_conv_s2d(x, params["conv1"])
     taps["conv1"] = h                     # hook fires on conv1 module (pre-BN)
     h, ns["bn1"] = _bn_apply(h, params["bn1"], state["bn1"], training)
     h = jax.nn.relu(h)

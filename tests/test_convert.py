@@ -114,3 +114,18 @@ def test_full_model_export_convert_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stem_s2d_matches_direct_conv(rng):
+    """The space-to-depth rewrite of conv1 (7x7/s2/pad3 on 3 channels ->
+    4x4/s1 on 12) is the same linear map; only reduction order differs."""
+    from eventad_tpu.models.resnet import _conv, _stem_conv_s2d
+    x = jnp.asarray(rng.randn(2, 48, 72, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32))
+    direct = _conv(x, w, stride=2, padding=[(3, 3), (3, 3)])
+    s2d = _stem_conv_s2d(x, w)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct),
+                               rtol=1e-4, atol=1e-4)
+    # odd spatial dims fall back to the direct conv
+    x_odd = jnp.asarray(rng.randn(1, 47, 72, 3).astype(np.float32))
+    assert _stem_conv_s2d(x_odd, w).shape == (1, 24, 36, 16)
