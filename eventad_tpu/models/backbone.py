@@ -108,7 +108,8 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 batch_size: int = None, span: int = 2,
                 gather_lookback: int = 0,
                 attr_range=None, self_slot0: bool = False,
-                width: int = None, height: int = None):
+                width: int = None, height: int = None,
+                fused_block: int = 128):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -217,9 +218,10 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                   else ((0, kernel_size - 1), (0, kernel_size - 1)))
         u = jnp.clip(attr_f32.astype(jnp.float32), 0.0, 1.0) \
             * (kernel_size - 1)
-        # block 128: larger blocks would amortize the one-hot build, but
-        # t=512 made the tunnel compile pathologically slow (>10 min)
-        tblk = min(128, -(-x_in.shape[0] // 128) * 128)
+        # larger blocks amortize the one-hot build (per-dest cost
+        # ~K*(span+t+128)/t) at the price of compile time; t=512 made the
+        # tunnel compile pathologically slow (>10 min)
+        tblk = min(fused_block, -(-x_in.shape[0] // 128) * 128)
         prep = prepare_fused(nbr, nbr_mask, u, lookback=lb, lookahead=lf,
                              block=tblk)
 
@@ -293,6 +295,9 @@ class BackboneConfig(NamedTuple):
     # dominant traffic. Positions, BN statistics and the recurrent head
     # stay float32.
     compute_dtype: str = "float32"
+    # destination-block width of the fused spline-conv kernel (lanes per
+    # Pallas block); 128 minimum, larger amortizes the in-kernel one-hot
+    fused_block: int = 128
 
 
 def make_backbone_config(cfg: Config) -> BackboneConfig:
@@ -443,7 +448,8 @@ def backbone_forward(params: BackboneParams,
             batch_size=bc.batch_size,
             gather_lookback=bc.gather_lookback if level == 0 else 0,
             attr_range=level0_attr_range(bc) if level == 0 else None,
-            self_slot0=level == 0, width=bc.width, height=bc.height)
+            self_slot0=level == 0, width=bc.width, height=bc.height,
+            fused_block=bc.fused_block)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)

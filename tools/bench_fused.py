@@ -2,7 +2,8 @@
 """Micro-benchmark: fused spline-conv kernel vs the XLA formulation, per
 backbone level shape. Pipelined device timing (enqueue N, fetch one scalar).
 
-Usage: python tools/bench_fused.py [level0|level1|all]
+Usage: python tools/bench_fused.py [level0|level1|all] [block]
+(``block`` = fused-kernel destination block width, default 128)
 """
 import os
 import sys
@@ -36,7 +37,7 @@ def bench(fn, *args, iters=30):
 
 
 def run_case(name, *, n, k, cin, cout, span, lookback, lookahead=0,
-             span_frac=0.15, seed=0):
+             span_frac=0.15, seed=0, block=128):
     """span_frac: typical true neighbour span as a fraction of lookback
     (drives the per-block nsub bound, like delta_t-bounded streams)."""
     rng = np.random.RandomState(seed)
@@ -69,7 +70,7 @@ def run_case(name, *, n, k, cin, cout, span, lookback, lookahead=0,
     def fused_path(xx):
         return fused_spline_conv(xx, nbrj, maskj, u, wj, kernel_size=ks,
                                  ranges=ranges, lookback=lookback,
-                                 lookahead=lookahead).sum()
+                                 lookahead=lookahead, block=block).sum()
 
     ms_x = bench(xla_path, xj)
     ms_f = bench(fused_path, xj)
@@ -79,18 +80,19 @@ def run_case(name, *, n, k, cin, cout, span, lookback, lookahead=0,
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    blk = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     if which in ("level0", "all"):
-        run_case("level0 block1 (98k,15,19,16)", n=98304, k=15, cin=19,
-                 cout=16, span=(0.2, 0.3), lookback=1024)
-        run_case("level0 block2 (98k,15,16,16)", n=98304, k=15, cin=16,
-                 cout=16, span=(0.2, 0.3), lookback=1024)
+        run_case(f"level0 block1 (98k,15,19,16) t={blk}", n=98304, k=15,
+                 cin=19, cout=16, span=(0.2, 0.3), lookback=1024, block=blk)
+        run_case(f"level0 block2 (98k,15,16,16) t={blk}", n=98304, k=15,
+                 cin=16, cout=16, span=(0.2, 0.3), lookback=1024, block=blk)
     if which in ("level1", "all"):
-        run_case("level1 block1 (13k,25,82,64)", n=13440, k=25, cin=82,
-                 cout=64, span=(0.5, 0.5), lookback=128, lookahead=128,
-                 span_frac=1.0)
-        run_case("level1 block2 (13k,25,64,64)", n=13440, k=25, cin=64,
-                 cout=64, span=(0.5, 0.5), lookback=128, lookahead=128,
-                 span_frac=1.0)
+        run_case(f"level1 block1 (13k,25,82,64) t={blk}", n=13440, k=25,
+                 cin=82, cout=64, span=(0.5, 0.5), lookback=128,
+                 lookahead=128, span_frac=1.0, block=blk)
+        run_case(f"level1 block2 (13k,25,64,64) t={blk}", n=13440, k=25,
+                 cin=64, cout=64, span=(0.5, 0.5), lookback=128,
+                 lookahead=128, span_frac=1.0, block=blk)
 
 
 if __name__ == "__main__":
