@@ -109,7 +109,7 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 gather_lookback: int = 0,
                 attr_range=None, self_slot0: bool = False,
                 width: int = None, height: int = None,
-                fused_block: int = 128):
+                fused_block: int = 128, activation_name: str = None):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -244,15 +244,45 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                                attr_range=attr_range,
                                add_center_to_root=fold_self)
 
-    # ConvBlock 1: conv -> bn -> act
-    h = conv_block(x_in, params.block1.conv, x_j1)
-    h, bn1 = batch_norm(h, g.node_mask, params.block1.bn, state.block1.bn,
-                        training=training)
-    h = activation(h)
-    h = jnp.where(g.node_mask[:, None], h, 0.0)
-    # ConvBlockWithSkip: conv(h) + bn ; skip = bn(lin(x_in)) ; act(sum)
-    h2 = conv_block(h, params.block2.conv,
-                    None if use_fused else rows_of(h))
+    # two-block fusion (level 0 only: needs lookahead == 0): both convs,
+    # the BN affine and the activation in ONE kernel sharing the one-hot
+    # compare — the dominant VPU cost of the single-block kernel, paid once
+    use_fused2 = (use_fused and grid is None
+                  and activation_name in ("relu", "elu", "hardtanh", "silu"))
+    if use_fused2:
+        from ..ops.spline_fused import fused_two_block_prepared
+        p1, p2 = params.block1.conv, params.block2.conv
+        root1, root2 = p1.root, p2.root
+        if fold_self:
+            ci = center_index(kernel_size)
+            root1 = root1 + p1.weight[ci]
+            root2 = root2 + p2.weight[ci]
+        f32 = jnp.float32
+        bst = state.block1.bn
+        # same folded-affine arithmetic as ops/norm.batch_norm's bf16 path
+        a1 = params.block1.bn.scale.astype(f32) \
+            * jnp.reciprocal(jnp.sqrt(bst.var.astype(f32) + 1e-5))
+        b1 = params.block1.bn.offset.astype(f32) - bst.mean.astype(f32) * a1
+        if p1.bias is not None:
+            b1 = b1 + a1 * p1.bias.astype(f32)
+        h2, _ = fused_two_block_prepared(
+            x_in, prep, p1.weight, root1, a1, b1, p2.weight, root2,
+            g.node_mask, kernel_size=kernel_size, ranges=ranges,
+            act=activation_name)
+        if p2.bias is not None:
+            h2 = h2 + p2.bias
+        h2 = jnp.where(g.node_mask[:, None], h2, 0.0).astype(dt)
+        bn1 = state.block1.bn          # eval: running stats unchanged
+    else:
+        # ConvBlock 1: conv -> bn -> act
+        h = conv_block(x_in, params.block1.conv, x_j1)
+        h, bn1 = batch_norm(h, g.node_mask, params.block1.bn,
+                            state.block1.bn, training=training)
+        h = activation(h)
+        h = jnp.where(g.node_mask[:, None], h, 0.0)
+        # ConvBlockWithSkip: conv(h) + bn ; skip = bn(lin(x_in)) ; act(sum)
+        h2 = conv_block(h, params.block2.conv,
+                        None if use_fused else rows_of(h))
     h2, bn2 = batch_norm(h2, g.node_mask, params.block2.bn, state.block2.bn,
                          training=training)
     skip = x_in @ params.skip_lin + params.skip_lin_bias
@@ -449,7 +479,7 @@ def backbone_forward(params: BackboneParams,
             gather_lookback=bc.gather_lookback if level == 0 else 0,
             attr_range=level0_attr_range(bc) if level == 0 else None,
             self_slot0=level == 0, width=bc.width, height=bc.height,
-            fused_block=bc.fused_block)
+            fused_block=bc.fused_block, activation_name=bc.activation)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)

@@ -97,3 +97,65 @@ def test_fused_all_masked_rows(rng):
         jnp.asarray(mask), jnp.asarray(u), jnp.asarray(w),
         kernel_size=ks, ranges=ranges, lookback=128, interpret=True)
     assert (np.asarray(out)[n // 2:] == 0).all()
+
+
+def _two_block_case(rng, *, block, act, n=300, tol=1e-2):
+    """fused_two_block_prepared vs the XLA block1->BN->act->block2 chain."""
+    from eventad_tpu.ops.spline_fused import (fused_two_block_prepared,
+                                              prepare_fused)
+    n_, k, cin, c1, c2, ks, lookback = n, 15, 19, 16, 16, 5, 128
+    span = (0.2, 0.3)
+    attr_range = ((0.5 - span[0], 0.5 + span[0]),
+                  (0.5 - span[1], 0.5 + span[1]))
+    ranges = tap_ranges(ks, attr_range)
+    nbr, mask = _window_graph(rng, n_, k, lookback)
+    node_mask = rng.rand(n_) > 0.1
+    x = rng.randn(n_, cin).astype(np.float32)
+    attr = (0.5 + (rng.rand(n_, k, 2) * 2 - 1) * np.array(span)) \
+        .astype(np.float32)
+    w1 = (rng.randn(ks * ks, cin, c1) / np.sqrt(cin * 4)).astype(np.float32)
+    w2 = (rng.randn(ks * ks, c1, c2) / np.sqrt(c1 * 4)).astype(np.float32)
+    r1 = (rng.randn(cin, c1) / np.sqrt(cin)).astype(np.float32)
+    r2 = (rng.randn(c1, c2) / np.sqrt(c1)).astype(np.float32)
+    a = (rng.rand(c1) + 0.5).astype(np.float32)
+    b = (rng.randn(c1) * 0.1).astype(np.float32)
+
+    p1 = SplineConvParams(jnp.asarray(w1), jnp.asarray(r1), None)
+    p2 = SplineConvParams(jnp.asarray(w2), jnp.asarray(r2), None)
+    conv1 = spline_conv(jnp.asarray(x), jnp.asarray(nbr), jnp.asarray(mask),
+                        jnp.asarray(attr), p1, kernel_size=ks, aggr="sum",
+                        attr_range=attr_range,
+                        node_mask=jnp.asarray(node_mask))
+    pre = np.asarray(conv1) * a + b
+    if act == "relu":
+        h_ref = np.maximum(pre, 0.0)
+    else:
+        h_ref = np.where(pre > 0, pre, np.expm1(pre))
+    h_ref = (h_ref * node_mask[:, None]).astype(np.float32)
+    out_ref = np.asarray(spline_conv(
+        jnp.asarray(h_ref), jnp.asarray(nbr), jnp.asarray(mask),
+        jnp.asarray(attr), p2, kernel_size=ks, aggr="sum",
+        attr_range=attr_range))
+
+    u = np.clip(attr, 0, 1) * (ks - 1)
+    prep = prepare_fused(jnp.asarray(nbr), jnp.asarray(mask),
+                         jnp.asarray(u), lookback=lookback, lookahead=0,
+                         block=block)
+    out2, h = fused_two_block_prepared(
+        jnp.asarray(x).astype(jnp.bfloat16), prep, jnp.asarray(w1),
+        jnp.asarray(r1), jnp.asarray(a), jnp.asarray(b), jnp.asarray(w2),
+        jnp.asarray(r2), jnp.asarray(node_mask), kernel_size=ks,
+        ranges=ranges, act=act, interpret=True)
+    hs = np.abs(h_ref).max() + 1e-6
+    osc = np.abs(out_ref).max() + 1e-6
+    assert np.abs(np.asarray(h) - h_ref).max() / hs < tol
+    assert np.abs(np.asarray(out2) - out_ref).max() / osc < tol
+
+
+def test_two_block_t128_relu(rng):
+    _two_block_case(rng, block=128, act="relu")
+
+
+def test_two_block_t256_elu(rng):
+    """Two own chunks per block (t=256) + non-relu activation."""
+    _two_block_case(rng, block=256, act="elu")
