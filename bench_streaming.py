@@ -38,6 +38,7 @@ def main():
         "refresh_ms": round(lat["refresh_ms"], 3),
         "device_step_ms": round(lat["device_step_ms"], 3),
         "device_append_ms": round(lat["device_append_ms"], 3),
+        "device_append_scan_ms": round(lat["device_append_scan_ms"], 3),
         "device_read_ms": round(lat["device_read_ms"], 3),
         "device_read_detections_ms":
             round(det["device_read_detections_ms"], 3),

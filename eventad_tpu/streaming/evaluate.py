@@ -247,6 +247,16 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
                     jnp.int32(n_chunk)),) * 2)
     dev_read = pipelined(lambda s: step.read_scores(s, boxes, present))
 
+    # scan-amortized append rate: M chunks per dispatch — the per-call host
+    # round-trip (the tunnel artifact dominating dev_append) divides by M,
+    # so this is the closest wall proxy for the true device chunk rate
+    m_scan = 8
+    pcs = jnp.stack([chunk(t_base + 2000 * j) for j in range(m_scan)])
+    pls = jnp.ones((m_scan, n_chunk))
+    cnts = jnp.full((m_scan,), n_chunk, jnp.int32)
+    dev_append_scan = pipelined(
+        lambda s: (step.append_many(s, pcs, pls, cnts),) * 2) / m_scan
+
     return {
         "p50_ms": float(times[len(times) // 2] * 1e3),
         "p99_ms": float(times[int(len(times) * 0.99) - 1] * 1e3),
@@ -255,6 +265,7 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
         "refresh_ms": refresh_ms,
         "device_step_ms": dev_step,
         "device_append_ms": dev_append,
+        "device_append_scan_ms": dev_append_scan,
         "device_read_ms": dev_read,
         "events_per_chunk": n_chunk,
     }

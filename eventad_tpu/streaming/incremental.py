@@ -327,7 +327,24 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         return _upper_levels_and_head(params, mstate, bc, mc, state, posn,
                                       boxes, box_present, gsc)
 
+    @jax.jit
+    def append_many(state: IncrementalState, pos_chunks, pol_chunks,
+                    n_chunks):
+        """Ingest ``M`` chunks in one call (``pos_chunks [M, n_chunk, 3]``,
+        ``pol_chunks [M, n_chunk]``, ``n_chunks [M]``): a ``lax.scan`` over
+        :func:`append`.  Semantically identical to ``M`` separate appends;
+        one dispatch amortizes the per-call host round-trip (catch-up
+        ingest, and the honest device-rate measurement)."""
+        def body(st, xs):
+            p, q, n = xs
+            return append(st, p, q, n), ()
+
+        state, _ = jax.lax.scan(body, state,
+                                (pos_chunks, pol_chunks, n_chunks))
+        return state
+
     step.append = append
+    step.append_many = append_many
     step.read_scores = read_scores
     return refresh, step
 

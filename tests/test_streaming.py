@@ -121,3 +121,49 @@ def test_incremental_matches_batch(rng):
     # non-valid slots unmasked in the raw logits array)
     diff = np.abs(got[present] - batch_logits[present]).max()
     assert diff < 1e-5, f"incremental diverges from batch: {diff}"
+
+
+def test_append_many_matches_sequential(rng):
+    """append_many (scanned multi-chunk ingest) == the same appends issued
+    one call at a time, bitwise."""
+    from eventad_tpu.models.backbone import make_backbone_config
+    from eventad_tpu.models.dagr import graph_static_config
+    from eventad_tpu.models.eventad import EventADConfig
+    from eventad_tpu.streaming import incremental as inc
+
+    cfg = _small_cfg()
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    n, n_chunk, m = 512, 128, 3
+    pos = np.zeros((n + m * n_chunk, 3), np.int32)
+    nn = pos.shape[0]
+    pos[:, 0] = rng.randint(0, cfg.model_width, nn)
+    pos[:, 1] = rng.randint(0, cfg.model_height, nn)
+    pos[:, 2] = 1_000_000 + np.sort(rng.randint(0, 50_000, nn))
+    pol = rng.choice([-1.0, 1.0], nn).astype(np.float32)
+
+    mcfg = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                         max_boxes=cfg.max_boxes)
+    bc1 = make_backbone_config(cfg.replace(batch_size=1))
+    gsc = graph_static_config(cfg.replace(batch_size=1))
+    st = inc.init_incremental_state(n, bc1, mcfg,
+                                    max_neighbors=cfg.max_neighbors)
+    refresh, step = inc.make_incremental_step(params, state, bc1, mcfg,
+                                              gsc, n_chunk=n_chunk,
+                                              n_buf=n)
+    for ci in range(n // n_chunk):
+        lo = ci * n_chunk
+        st = inc.insert_raw(st, jnp.asarray(pos[lo:lo + n_chunk]),
+                            jnp.asarray(pol[lo:lo + n_chunk]),
+                            jnp.int32(n_chunk))
+    st = refresh(st)
+
+    chunks = pos[n:].reshape(m, n_chunk, 3)
+    pols = pol[n:].reshape(m, n_chunk)
+    st_seq = st
+    for j in range(m):
+        st_seq = step.append(st_seq, jnp.asarray(chunks[j]),
+                             jnp.asarray(pols[j]), jnp.int32(n_chunk))
+    st_scan = step.append_many(st, jnp.asarray(chunks), jnp.asarray(pols),
+                               jnp.full((m,), n_chunk, jnp.int32))
+    for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st_scan)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
