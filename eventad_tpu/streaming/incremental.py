@@ -345,6 +345,7 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
 
     step.append = append
     step.append_many = append_many
+    append.many = append_many      # riders of the bare append (detect.py)
     step.read_scores = read_scores
     return refresh, step
 
