@@ -434,7 +434,9 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
     out_ref[...] = acc2
 
     for j in range(own):
-        pltpu.make_async_copy(hck.at[j], h_hbm.at[0], semw.at[j]).wait()
+        pltpu.make_async_copy(
+            hck.at[j], h_hbm.at[base_chunk + (w_total - t) // _SUB + j],
+            semw.at[j]).wait()
 
 
 def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
