@@ -109,7 +109,8 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 gather_lookback: int = 0,
                 attr_range=None, self_slot0: bool = False,
                 width: int = None, height: int = None,
-                fused_block: int = 128, activation_name: str = None):
+                fused_block: int = 128, activation_name: str = None,
+                fused_two_block: bool = False):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -247,7 +248,7 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     # two-block fusion (level 0 only: needs lookahead == 0): both convs,
     # the BN affine and the activation in ONE kernel sharing the one-hot
     # compare — the dominant VPU cost of the single-block kernel, paid once
-    use_fused2 = (use_fused and grid is None
+    use_fused2 = (use_fused and fused_two_block and grid is None
                   and activation_name in ("relu", "elu", "hardtanh", "silu"))
     if use_fused2:
         from ..ops.spline_fused import fused_two_block_prepared
@@ -328,6 +329,9 @@ class BackboneConfig(NamedTuple):
     # destination-block width of the fused spline-conv kernel (lanes per
     # Pallas block); 128 minimum, larger amortizes the in-kernel one-hot
     fused_block: int = 128
+    # both level-0 conv blocks in one kernel (shared one-hot compare);
+    # OFF until Mosaic-compile-validated on the target generation
+    fused_two_block: bool = False
 
 
 def make_backbone_config(cfg: Config) -> BackboneConfig:
@@ -479,7 +483,8 @@ def backbone_forward(params: BackboneParams,
             gather_lookback=bc.gather_lookback if level == 0 else 0,
             attr_range=level0_attr_range(bc) if level == 0 else None,
             self_slot0=level == 0, width=bc.width, height=bc.height,
-            fused_block=bc.fused_block, activation_name=bc.activation)
+            fused_block=bc.fused_block, activation_name=bc.activation,
+            fused_two_block=bc.fused_two_block)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)
