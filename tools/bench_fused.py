@@ -78,9 +78,73 @@ def run_case(name, *, n, k, cin, cout, span, lookback, lookahead=0,
           f"({ms_x / ms_f:4.2f}x)")
 
 
+def run_two_block(name, *, n, k, cin, c1, c2, span, lookback,
+                  span_frac=0.15, seed=0, block=128):
+    """Two single-block fused kernels (+XLA BN/act glue) vs the two-block
+    kernel at the level-0 operating point."""
+    from eventad_tpu.ops.spline_fused import (fused_two_block_prepared,
+                                              prepare_fused,
+                                              fused_spline_conv_prepared)
+    rng = np.random.RandomState(seed)
+    ks = 5
+    attr_range = ((0.5 - span[0], 0.5 + span[0]),
+                  (0.5 - span[1], 0.5 + span[1]))
+    ranges = tap_ranges(ks, attr_range)
+    true_span = max(int(lookback * span_frac), 1)
+    lo = np.maximum(np.arange(n)[:, None] - true_span, 0)
+    nbr = (lo + np.round(rng.rand(n, k) * (np.arange(n)[:, None] - lo))) \
+        .astype(np.int32)
+    mask = rng.rand(n, k) > 0.15
+    node_mask = rng.rand(n) > 0.05
+    x = jnp.asarray(rng.randn(n, cin).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    attr = (0.5 + (rng.rand(n, k, 2) * 2 - 1) * np.array(span)) \
+        .astype(np.float32)
+    u = jnp.asarray(np.clip(attr, 0, 1) * (ks - 1))
+    w1 = jnp.asarray((rng.randn(ks * ks, cin, c1) / np.sqrt(cin * 4))
+                     .astype(np.float32))
+    w2 = jnp.asarray((rng.randn(ks * ks, c1, c2) / np.sqrt(c1 * 4))
+                     .astype(np.float32))
+    r1 = jnp.asarray((rng.randn(cin, c1) / np.sqrt(cin)).astype(np.float32))
+    r2 = jnp.asarray((rng.randn(c1, c2) / np.sqrt(c1)).astype(np.float32))
+    a1 = jnp.asarray((rng.rand(c1) + 0.5).astype(np.float32))
+    b1 = jnp.asarray((rng.randn(c1) * 0.1).astype(np.float32))
+    nbrj, maskj, nm = (jnp.asarray(nbr), jnp.asarray(mask),
+                       jnp.asarray(node_mask))
+
+    def two_single(xx):
+        prep = prepare_fused(nbrj, maskj, u, lookback=lookback, block=block)
+        c = fused_spline_conv_prepared(xx, prep, w1, kernel_size=ks,
+                                       ranges=ranges)
+        h = c + (xx @ r1.astype(jnp.bfloat16)).astype(jnp.float32)
+        h = jnp.maximum(h * a1 + b1, 0.0) * nm[:, None]
+        h = h.astype(jnp.bfloat16)
+        c2_ = fused_spline_conv_prepared(h, prep, w2, kernel_size=ks,
+                                         ranges=ranges)
+        return (c2_ + (h @ r2.astype(jnp.bfloat16)).astype(jnp.float32)) \
+            .sum()
+
+    def fused2(xx):
+        prep = prepare_fused(nbrj, maskj, u, lookback=lookback, block=block)
+        out, _ = fused_two_block_prepared(
+            xx, prep, w1, r1, a1, b1, w2, r2, nm, kernel_size=ks,
+            ranges=ranges, act="relu")
+        return out.sum()
+
+    ms_s = bench(two_single, x)
+    ms_f = bench(fused2, x)
+    print(f"{name:28s} 2x1blk {ms_s:7.3f} ms   2blk {ms_f:7.3f} ms   "
+          f"({ms_s / ms_f:4.2f}x)")
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     blk = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    if which in ("two", "all2"):
+        run_two_block(f"level0 2blk (98k,15,19,16) t={blk}", n=98304, k=15,
+                      cin=19, c1=16, c2=16, span=(0.2, 0.3), lookback=1024,
+                      block=blk)
+        return
     if which in ("level0", "all"):
         run_case(f"level0 block1 (98k,15,19,16) t={blk}", n=98304, k=15,
                  cin=19, cout=16, span=(0.2, 0.3), lookback=1024, block=blk)
