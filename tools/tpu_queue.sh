@@ -1,0 +1,38 @@
+#!/bin/bash
+# TPU validation queue (CLAUDE.md "In-flight"): run serially when the axon
+# tunnel returns.  ONE tunnel process at a time — this script is the only
+# TPU user while it runs.  Logs per step under $OUT (default /tmp/tpu_queue).
+#
+# Usage: bash tools/tpu_queue.sh [out_dir]
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_queue}
+mkdir -p "$OUT"
+
+run() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name: $* (timeout ${tmo}s) $(date -u +%H:%M:%S)"
+  timeout "$tmo" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name exit=$rc"
+  tail -5 "$OUT/$name.log" | sed 's/^/    /'
+  return $rc
+}
+
+# 1. two-block kernel: Mosaic compile + micro numbers (decides the default)
+run two128   1200 python tools/bench_fused.py two 128
+run two256   1200 python tools/bench_fused.py two 256
+# 2. single-block t=256 bisect
+run level0_256 1200 python tools/bench_fused.py level0 256
+# 3. re-trace the batched forward at HEAD (s2d stem included)
+run trace_forward 1800 python tools/trace_forward.py
+# 4. streaming trace: decompose append/read into device vs dispatch
+run trace_streaming 1800 python tools/trace_streaming.py
+# 5. refresh headline numbers from ONE process (also pre-warms the
+#    compile cache for the driver)
+run bench        1800 python bench.py
+run bench_stream 1800 python bench_streaming.py
+run bench_det    1800 python bench_detector.py
+run profile      1800 python tools/profile_stages.py
+
+echo "QUEUE DONE $(date -u)"
