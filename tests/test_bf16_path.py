@@ -53,3 +53,33 @@ def test_bf16_matches_f32_within_tolerance():
     if len(l32) > 2:
         c = np.corrcoef(np.asarray(p32), np.asarray(p16))[0, 1]
         assert c > 0.95, c
+
+
+def test_bf16_train_step_descends():
+    """Anomaly training is head-only with DAGR frozen in eval mode
+    (reference EventAD.py:149-150), so ``compute_dtype=bfloat16`` is legal
+    during training: bf16 frozen features, f32 head gradients.  Pins that
+    the step compiles, the loss is finite and decreases, and the trained
+    parameters stay f32."""
+    from eventad_tpu.parallel.train_step import (make_optimizer,
+                                                 make_train_fns)
+    cfg = Config(batch_size=1, use_image=True, width=96, height=72, scale=1,
+                 event_buckets=(1024,), graph_lookback=256,
+                 compute_dtype="bfloat16")
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    gsc = graph_static_config(cfg)
+    batch = jax.tree.map(jnp.asarray,
+                         make_synthetic_batch(cfg, boxes_per_item=4))
+    opt = make_optimizer(1e-3, 1e-5, 1.0)
+    opt_state = opt.init(params.head)
+    fns = make_train_fns(cfg, bc, mc, gsc, opt)
+    p, s, o, m0 = fns.train_step(params, state, opt_state, batch,
+                                 jax.random.PRNGKey(1))
+    p, s, o, m1 = fns.train_step(p, s, o, batch, jax.random.PRNGKey(1))
+    l0, l1 = float(m0["loss"]), float(m1["loss"])
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0, (l0, l1)
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(p.head)
+               if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                         jnp.floating))

@@ -137,9 +137,76 @@ def run_two_block(name, *, n, k, cin, c1, c2, span, lookback,
           f"({ms_s / ms_f:4.2f}x)")
 
 
+def run_pooled_case(name, *, grid, cin, cout, span=2, seed=0, block=128):
+    """Pooled-level conv at batch-1 streaming-read scale: XLA path with
+    dense-shift neighbour rows (what the non-fused pooled path runs) vs the
+    fused kernel with the grid window contract.  Decides whether the tiny
+    upper levels (560/140/35 cells) should stay on the Pallas kernel or the
+    plain XLA formulation in the streaming read."""
+    from eventad_tpu.models.graph import neighbor_rows
+    from eventad_tpu.ops.spline_fused import (fused_spline_conv_prepared,
+                                              prepare_fused)
+    rng = np.random.RandomState(seed)
+    ks = 5
+    nx, ny = grid
+    n = nx * ny
+    side = 2 * span + 1
+    k = side * side
+    ranges = ((0, ks - 1), (0, ks - 1))
+    # arithmetic neighbour table of the grid (pool_graph's layout)
+    cells = np.arange(n)
+    cx, cy = cells % nx, cells // nx
+    offs = np.arange(k)
+    ox, oy = offs % side - span, offs // side - span
+    nxs_, nys_ = cx[:, None] + ox[None], cy[:, None] + oy[None]
+    in_fov = (nxs_ >= 0) & (nxs_ < nx) & (nys_ >= 0) & (nys_ < ny)
+    nbr = (np.clip(nys_, 0, ny - 1) * nx
+           + np.clip(nxs_, 0, nx - 1)).astype(np.int32)
+    mask = in_fov & (rng.rand(n, k) > 0.3)
+    x = jnp.asarray(rng.randn(n, cin).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    attr = (rng.rand(n, k, 2)).astype(np.float32)
+    attrj = jnp.asarray(attr)
+    u = attrj * (ks - 1)
+    w = rng.randn(ks * ks, cin, cout).astype(np.float32) * 0.05
+    params = SplineConvParams(jnp.asarray(w).astype(jnp.bfloat16), None,
+                              None)
+    nbrj, maskj = jnp.asarray(nbr), jnp.asarray(mask)
+    halo = span * nx + span
+
+    def xla_path(xx):
+        xj = neighbor_rows(xx, grid, 1, span)
+        return spline_conv(xx, nbrj, maskj, attrj.astype(jnp.bfloat16),
+                           params, kernel_size=ks, aggr="sum",
+                           x_j=xj).sum()
+
+    def fused_path(xx):
+        prep = prepare_fused(nbrj, maskj, u, lookback=halo, lookahead=halo,
+                             block=min(block, -(-n // 128) * 128))
+        return fused_spline_conv_prepared(xx, prep, jnp.asarray(w),
+                                          kernel_size=ks,
+                                          ranges=ranges).sum()
+
+    ms_x = bench(xla_path, x)
+    ms_f = bench(fused_path, x)
+    print(f"{name:28s} xla {ms_x:7.3f} ms   fused {ms_f:7.3f} ms   "
+          f"({ms_x / ms_f:4.2f}x)")
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     blk = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    if which == "stream":
+        # batch-1 pooled tables of the streaming read path
+        run_pooled_case("s-l1 (2240,25,82,64)", grid=(56, 40), cin=82,
+                        cout=64, block=blk)
+        run_pooled_case("s-l2 (560,25,130,64)", grid=(28, 20), cin=130,
+                        cout=64, block=blk)
+        run_pooled_case("s-l3 (140,25,130,64)", grid=(14, 10), cin=130,
+                        cout=64, block=blk)
+        run_pooled_case("s-l4 (35,25,130,64)", grid=(7, 5), cin=130,
+                        cout=64, block=blk)
+        return
     if which in ("two", "all2"):
         run_two_block(f"level0 2blk (98k,15,19,16) t={blk}", n=98304, k=15,
                       cin=19, c1=16, c2=16, span=(0.2, 0.3), lookback=1024,

@@ -2,7 +2,12 @@
 """Training-step throughput at the flagship operating point (one chip).
 
 Head-only gradients, frozen DAGR (the reference's training regime).
-Usage: python tools/bench_train.py [n_events] [iters]
+Usage: python tools/bench_train.py [n_events] [iters] [compute_dtype]
+
+The frozen feature path runs eval-mode inside the train step (reference
+EventAD.py:149-150 keeps DAGR in eval), so ``bfloat16`` legally enables the
+fused inference kernels during training — gradients stop at the features.
+f32 stays the default (the reference's training numerics).
 """
 import os
 import sys
@@ -27,7 +32,9 @@ def main():
 
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    cfg = Config(batch_size=6, use_image=True, event_buckets=(n_events,))
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    cfg = Config(batch_size=6, use_image=True, event_buckets=(n_events,),
+                 compute_dtype=dtype)
     params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
     gsc = graph_static_config(cfg)
     batch = jax.tree.map(jnp.asarray,
@@ -50,7 +57,7 @@ def main():
         p, s, o, m = run(p, s, o)
     np.asarray(m["loss"])                           # one final sync
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step: {dt*1e3:.2f} ms/batch, "
+    print(f"train step ({dtype}): {dt*1e3:.2f} ms/batch, "
           f"{cfg.batch_size/dt:.1f} items/s pipelined")
 
 

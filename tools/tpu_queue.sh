@@ -34,5 +34,8 @@ run bench        1800 python bench.py
 run bench_stream 1800 python bench_streaming.py
 run bench_det    1800 python bench_detector.py
 run profile      1800 python tools/profile_stages.py
+# 6. training throughput: f32 (reference regime) + bf16 frozen-feature path
+run train_f32    1800 python tools/bench_train.py 16384 20 float32
+run train_bf16   1800 python tools/bench_train.py 16384 20 bfloat16
 
 echo "QUEUE DONE $(date -u)"
