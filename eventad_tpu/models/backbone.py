@@ -110,7 +110,7 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 attr_range=None, self_slot0: bool = False,
                 width: int = None, height: int = None,
                 fused_block: int = 128, activation_name: str = None,
-                fused_two_block: bool = False):
+                fused_two_block: bool = False, fused_min_rows: int = 0):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -163,7 +163,8 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     use_fused = (dt == jnp.bfloat16 and not training and aggr == "sum"
                  and jax.default_backend() == "tpu"
                  and (grid is not None
-                      or (gather_lookback > 0 and g.off is not None)))
+                      or (gather_lookback > 0 and g.off is not None))
+                 and (grid is None or x_in.shape[0] >= fused_min_rows))
 
     if attr is None and g.off is not None and grid is None \
             and width is not None:
@@ -332,6 +333,11 @@ class BackboneConfig(NamedTuple):
     # both level-0 conv blocks in one kernel (shared one-hot compare);
     # OFF until Mosaic-compile-validated on the target generation
     fused_two_block: bool = False
+    # pooled levels use the fused Pallas kernel only when the cell table has
+    # at least this many rows (per program, = batch * nx * ny); below it the
+    # dense-shift XLA formulation wins on fixed kernel-launch/prep cost
+    # (tools/bench_fused.py stream). 0 = always fused (round-3 behaviour).
+    fused_min_rows: int = 0
 
 
 def make_backbone_config(cfg: Config) -> BackboneConfig:
@@ -484,7 +490,8 @@ def backbone_forward(params: BackboneParams,
             attr_range=level0_attr_range(bc) if level == 0 else None,
             self_slot0=level == 0, width=bc.width, height=bc.height,
             fused_block=bc.fused_block, activation_name=bc.activation,
-            fused_two_block=bc.fused_two_block)
+            fused_two_block=bc.fused_two_block,
+            fused_min_rows=bc.fused_min_rows)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)
