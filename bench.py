@@ -11,9 +11,10 @@ import json
 import sys
 import time
 
+from eventad_tpu.utils.jaxtools import setup_compilation_cache, wait_for_tpu
+wait_for_tpu()   # bounded wait if the axon tunnel is down (vs hanging)
 import jax
 
-from eventad_tpu.utils.jaxtools import setup_compilation_cache
 setup_compilation_cache()
 import jax.numpy as jnp
 import numpy as np

@@ -22,6 +22,51 @@ def setup_compilation_cache(path: str = "/root/.cache/jax_cc"):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 240.0,
+                 period_s: float = 60.0) -> bool:
+    """Block until the axon TPU tunnel answers a trivial compile+fetch.
+
+    The tunnel drops out for stretches; a process that initialises JAX while
+    it is down hangs indefinitely with no error.  Probing in a SUBPROCESS
+    (with a hard timeout) keeps this process's JAX uninitialised until the
+    device is actually reachable, so benchmarks fail fast / wait bounded
+    instead of hanging.  Returns True when the tunnel answered, False when
+    ``max_wait_s`` elapsed (callers may still proceed — the outer harness's
+    timeout then owns the failure).  No-op (True) when a CPU platform is
+    forced via ``EVENTAD_PLATFORM``.
+    """
+    import subprocess
+    import sys
+    import time
+
+    if os.environ.get("EVENTAD_PLATFORM", "").startswith("cpu"):
+        return True
+    probe_src = ("import jax, numpy as np, jax.numpy as jnp\n"
+                 "x = jnp.ones((8, 128))\n"
+                 "v = float(np.asarray((x @ x.T).sum()))\n"
+                 "assert v == 8 * 128 * 8, v\n")
+    deadline = time.monotonic() + max_wait_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               timeout=probe_timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print("wait_for_tpu: tunnel still unreachable after "
+                  f"{max_wait_s:.0f}s, proceeding anyway", file=sys.stderr)
+            return False
+        if first:
+            print("wait_for_tpu: TPU tunnel not answering, retrying "
+                  f"(up to {max_wait_s:.0f}s)...", file=sys.stderr)
+            first = False
+        time.sleep(period_s)
+
+
 def setup_debug_nans(enable: bool):
     """TPU analog of the reference's always-on torch detect_anomaly
     (utils/train.py:118) — opt-in here because it inhibits fusion."""
