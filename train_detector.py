@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 from eventad_tpu.config import parse_args
+from eventad_tpu.parallel import make_mesh
 from eventad_tpu.data.batching import Loader
 from eventad_tpu.data.dataset import SequenceDataset
 from eventad_tpu.models.detector import detector_forward, init_detector
@@ -58,6 +59,17 @@ def main(argv=None):
     val_ds = SequenceDataset(cfg, Path(cfg.dataset_directory), "val")
     train_loader = Loader(train_ds, cfg, shuffle=True, seed=cfg.seed)
     val_loader = Loader(val_ds, cfg, shuffle=False)
+
+    # data-parallel mesh (same contract as train.py): batch leaves sharded
+    # on 'data', params replicated, gradient all-reduce inserted by jit
+    mesh = make_mesh(cfg.mesh) if cfg.mesh not in ("", "1") else None
+
+    def to_device(batch):
+        batch = jax.tree.map(jnp.asarray, batch)
+        if mesh is not None and mesh.devices.size > 1:
+            from eventad_tpu.parallel import shard_batch
+            return shard_batch(batch, mesh)
+        return batch
 
     params, state, bc = init_detector(jax.random.PRNGKey(cfg.seed), cfg)
     grids = [bc.grids[2], bc.grids[3]]
@@ -112,7 +124,7 @@ def main(argv=None):
         for batch, _meta in train_loader:
             if not batch.bbox_mask.any():
                 continue
-            batch = jax.tree.map(jnp.asarray, batch)
+            batch = to_device(batch)
             params, state, opt_state, ema, losses = train_step(
                 params, state, opt_state, ema, batch, l1_w)
             step += 1
@@ -122,8 +134,7 @@ def main(argv=None):
         # periodic mAP with EMA weights (reference eval convention)
         buf = DetectionBuffer(num_classes=2)
         for batch, _meta in val_loader:
-            dets = eval_step(ema.params, state,
-                             jax.tree.map(jnp.asarray, batch))
+            dets = eval_step(ema.params, state, to_device(batch))
             for bi in range(cfg.batch_size):
                 gt_xyxy = np.asarray(batch.bbox[bi, :, :4]).copy()
                 gt_xyxy[:, 2:4] += gt_xyxy[:, :2]
