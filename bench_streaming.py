@@ -37,6 +37,7 @@ def main():
         "append_p50_ms": round(lat["append_p50_ms"], 3),
         "refresh_ms": round(lat["refresh_ms"], 3),
         "device_step_ms": round(lat["device_step_ms"], 3),
+        "device_step_scan_ms": round(lat["device_step_scan_ms"], 3),
         "device_append_ms": round(lat["device_append_ms"], 3),
         "device_append_scan_ms": round(lat["device_append_scan_ms"], 3),
         "device_read_ms": round(lat["device_read_ms"], 3),

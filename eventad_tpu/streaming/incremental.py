@@ -343,10 +343,33 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
                                 (pos_chunks, pol_chunks, n_chunks))
         return state
 
+    @jax.jit
+    def step_many(state: IncrementalState, pos_chunks, pol_chunks, n_chunks,
+                  boxes_frames, present_frames):
+        """``M`` full frame steps (append + score read) in one dispatch:
+        ``pos_chunks [M, n_chunk, 3]``, ``boxes_frames [M, S, 4]``,
+        ``present_frames [M, S]``.  Returns (state, logits ``[M, S, 2]``).
+        Semantically identical to ``M`` separate ``step`` calls; one
+        dispatch amortizes the per-call host round-trip, so the per-frame
+        quotient is the honest device frame rate (the streaming north-star
+        measurement)."""
+        def body(st, xs):
+            p, q, n, bx, bp = xs
+            st = append(st, p, q, n)
+            posn = _norm_pos(st.pos, st.t_now, gsc)
+            st, logits = _upper_levels_and_head(params, mstate, bc, mc, st,
+                                                posn, bx, bp, gsc)
+            return st, logits
+
+        return jax.lax.scan(body, state,
+                            (pos_chunks, pol_chunks, n_chunks,
+                             boxes_frames, present_frames))
+
     step.append = append
     step.append_many = append_many
     append.many = append_many      # riders of the bare append (detect.py)
     step.read_scores = read_scores
+    step.many = step_many
     return refresh, step
 
 

@@ -167,3 +167,62 @@ def test_append_many_matches_sequential(rng):
                                jnp.full((m,), n_chunk, jnp.int32))
     for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st_scan)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_step_many_matches_sequential(rng):
+    """step_many (scanned append+read frames) == the same frames stepped
+    one call at a time: identical logits per frame and identical final
+    state (including the recurrent head carries)."""
+    from eventad_tpu.models.backbone import make_backbone_config
+    from eventad_tpu.models.dagr import graph_static_config
+    from eventad_tpu.models.eventad import EventADConfig
+    from eventad_tpu.streaming import incremental as inc
+
+    cfg = _small_cfg()
+    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    n, n_chunk, m = 512, 128, 3
+    pos = np.zeros((n + m * n_chunk, 3), np.int32)
+    nn = pos.shape[0]
+    pos[:, 0] = rng.randint(0, cfg.model_width, nn)
+    pos[:, 1] = rng.randint(0, cfg.model_height, nn)
+    pos[:, 2] = 1_000_000 + np.sort(rng.randint(0, 50_000, nn))
+    pol = rng.choice([-1.0, 1.0], nn).astype(np.float32)
+    s1 = cfg.max_boxes + 1
+    boxes = rng.rand(m, s1, 4).astype(np.float32) * 20
+    boxes[..., 2:] += 4
+    present = rng.rand(m, s1) > 0.4
+    present[:, 0] = False
+
+    mcfg = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                         max_boxes=cfg.max_boxes)
+    bc1 = make_backbone_config(cfg.replace(batch_size=1))
+    gsc = graph_static_config(cfg.replace(batch_size=1))
+    st = inc.init_incremental_state(n, bc1, mcfg,
+                                    max_neighbors=cfg.max_neighbors)
+    refresh, step = inc.make_incremental_step(params, state, bc1, mcfg,
+                                              gsc, n_chunk=n_chunk,
+                                              n_buf=n)
+    for ci in range(n // n_chunk):
+        lo = ci * n_chunk
+        st = inc.insert_raw(st, jnp.asarray(pos[lo:lo + n_chunk]),
+                            jnp.asarray(pol[lo:lo + n_chunk]),
+                            jnp.int32(n_chunk))
+    st = refresh(st)
+
+    chunks = pos[n:].reshape(m, n_chunk, 3)
+    pols = pol[n:].reshape(m, n_chunk)
+    st_seq = st
+    seq_logits = []
+    for j in range(m):
+        st_seq, lg = step(st_seq, jnp.asarray(chunks[j]),
+                          jnp.asarray(pols[j]), jnp.int32(n_chunk),
+                          jnp.asarray(boxes[j]), jnp.asarray(present[j]))
+        seq_logits.append(np.asarray(lg))
+    st_scan, scan_logits = step.many(
+        st, jnp.asarray(chunks), jnp.asarray(pols),
+        jnp.full((m,), n_chunk, jnp.int32), jnp.asarray(boxes),
+        jnp.asarray(present))
+    np.testing.assert_array_equal(np.stack(seq_logits),
+                                  np.asarray(scan_logits))
+    for a, b in zip(jax.tree.leaves(st_seq), jax.tree.leaves(st_scan)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
