@@ -38,7 +38,7 @@ def main():
                                                    make_incremental_step)
     from eventad_tpu.streaming.incremental import update_image
 
-    n_buf = 16384
+    n_buf = int(os.environ.get("EVENTAD_TRACE_NBUF", 16384))
     cfg = Config(batch_size=1, use_image=True, event_buckets=(n_buf,),
                  compute_dtype="bfloat16")
     params, state, bc, mc0 = init_model(jax.random.PRNGKey(0), cfg)
@@ -95,11 +95,45 @@ def main():
         st = refresh(st)
         return st.t_now
 
+    m_scan = 8
+
+    def run_stepscan():
+        """One dispatch = m_scan full frames (append + score read): the
+        north-star program.  Reported times are for m_scan frames."""
+        nonlocal st
+        pcs = jnp.stack([chunk() for _ in range(m_scan)])
+        pls = jnp.ones((m_scan, n_chunk))
+        cnts = jnp.full((m_scan,), n_chunk, jnp.int32)
+        bxs = jnp.broadcast_to(boxes, (m_scan,) + boxes.shape)
+        bps = jnp.broadcast_to(present, (m_scan,) + present.shape)
+        st, logits = step.many(st, pcs, pls, cnts, bxs, bps)
+        return logits
+
+    def run_detect():
+        from eventad_tpu.models.detector import init_detector
+        from eventad_tpu.streaming.detect import (make_incremental_detector,
+                                                  update_image_detector)
+        dparams, dstate, dbc = init_detector(jax.random.PRNGKey(0), cfg1)
+        st2 = init_incremental_state(n_buf, dbc, mc,
+                                     max_neighbors=cfg.max_neighbors)
+        st2 = update_image_detector(dparams, dstate, st2, img, dbc,
+                                    cfg.img_net)
+        drefresh, _dappend, read_det = make_incremental_detector(
+            dparams, dstate, dbc, gsc, n_chunk=n_chunk, n_buf=n_buf)
+        for _ in range(n_buf // n_chunk):
+            st2 = insert_raw(st2, chunk(), ones, jnp.int32(n_chunk))
+        st2 = drefresh(st2)
+
+        def go():
+            dets, _dec = read_det(st2)
+            return dets["scores"]
+        return go
+
     progs = {"append": run_append, "read": run_read,
-             "refresh": run_refresh}
-    names = list(progs) if which == "all" else [which]
+             "refresh": run_refresh, "stepscan": run_stepscan}
+    names = list(progs) + ["detect"] if which == "all" else [which]
     for name in names:
-        fn = progs[name]
+        fn = run_detect() if name == "detect" else progs[name]
         _ = np.asarray(fn()).ravel()[0]   # compile + warm
         _ = np.asarray(fn()).ravel()[0]
         tdir = f"{TRACE_BASE}_{name}"
@@ -107,7 +141,8 @@ def main():
         with jax.profiler.trace(tdir):
             for _ in range(ITERS):
                 _ = np.asarray(fn()).ravel()[0]
-        print(f"\n===== {name} (chunk={n_chunk}) =====")
+        extra = f", {m_scan} frames/iter" if name == "stepscan" else ""
+        print(f"\n===== {name} (chunk={n_chunk}{extra}) =====")
         parse(tdir, iters=ITERS, top=30)
 
 
