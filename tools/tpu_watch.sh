@@ -1,8 +1,10 @@
 #!/bin/bash
 # Tunnel watchdog: probe the axon TPU tunnel every PERIOD seconds; when a
 # trivial compile+fetch succeeds, run the validation queue
-# (tools/tpu_queue.sh) once and exit.  ONE tunnel process at a time — the
-# probe and the queue are strictly serial.
+# (tools/tpu_queue.sh).  The queue is idempotent (per-step .ok stamps), so
+# if the tunnel drops mid-queue the watchdog keeps probing and re-runs the
+# remaining steps until every step has passed.  ONE tunnel process at a
+# time — the probe and the queue are strictly serial.
 #
 # Usage: bash tools/tpu_watch.sh [out_dir] [period_s]
 set -u
@@ -26,9 +28,13 @@ while true; do
   if probe; then
     echo "tunnel up at $(date -u); running queue"
     cat "$OUT/probe.log"
-    bash tools/tpu_queue.sh "$OUT"
-    exit 0
+    if bash tools/tpu_queue.sh "$OUT"; then
+      echo "queue complete at $(date -u)"
+      exit 0
+    fi
+    echo "queue had failures at $(date -u); will retry remaining steps"
+  else
+    echo "tunnel still down at $(date -u) (probe rc=$?)"
   fi
-  echo "tunnel still down at $(date -u) (probe rc=$?)"
   sleep "$PERIOD"
 done
