@@ -338,6 +338,14 @@ class BackboneConfig(NamedTuple):
     # dense-shift XLA formulation wins on fixed kernel-launch/prep cost
     # (tools/bench_fused.py stream). 0 = always fused (round-3 behaviour).
     fused_min_rows: int = 0
+    # level-0 image-feature fetch via the separable-bilinear Pallas
+    # kernel (ops/bilinear_sample.py) instead of upsample + row gather.
+    # OFF: measured on v5e (tools/bench_bilinear.py) the kernel beats the
+    # per-map upsample+gather chain 1.4-1.5x, but the model shares ONE
+    # row gather across both concatenated maps (~1.6 ms total) while the
+    # kernel pays per map (1.76 + 1.59 ms) — a net loss at model level.
+    # Kept as a validated component for per-map sampling call sites.
+    bilinear_kernel: bool = False
 
 
 def make_backbone_config(cfg: Config) -> BackboneConfig:
@@ -418,14 +426,29 @@ def backbone_forward(params: BackboneParams,
     rows01 = None
     c0 = 0
     if bc.use_image and start_level == 0:
-        up01 = jnp.concatenate(
-            [upsample_align_corners(image_feats[0].astype(dt), bc.width,
-                                    bc.height),
-             upsample_align_corners(image_feats[1].astype(dt), bc.width,
-                                    bc.height)], axis=-1)
         c0 = image_feats[0].shape[-1]
-        rows01 = lookup_pixel_features(up01, g0.pos, g0.batch,
-                                       g0.node_mask, bc.width, bc.height)
+        n0 = g0.pos.shape[0]
+        use_sep = (bc.bilinear_kernel and jax.default_backend() == "tpu"
+                   and n0 % bc.batch_size == 0
+                   and (n0 // bc.batch_size) % 128 == 0)
+        if use_sep:
+            # separable bilinear Pallas kernel: no upsample, no gather —
+            # the per-event fetch is an MXU y-contraction + VPU x-reduce
+            # entirely in VMEM (ops/bilinear_sample.py)
+            from ..ops.bilinear_sample import sample_bilinear_mxu
+            rows01 = jnp.concatenate(
+                [sample_bilinear_mxu(
+                    image_feats[i].astype(dt), g0.pos, g0.node_mask,
+                    full_width=bc.width, full_height=bc.height,
+                    batch_size=bc.batch_size) for i in (0, 1)], axis=1)
+        else:
+            up01 = jnp.concatenate(
+                [upsample_align_corners(image_feats[0].astype(dt), bc.width,
+                                        bc.height),
+                 upsample_align_corners(image_feats[1].astype(dt), bc.width,
+                                        bc.height)], axis=-1)
+            rows01 = lookup_pixel_features(up01, g0.pos, g0.batch,
+                                           g0.node_mask, bc.width, bc.height)
 
     def cat_image(g, level):
         if not bc.use_image:

@@ -159,6 +159,9 @@ def sample_image_features(feat: jnp.ndarray,
         v = pair[batch, jnp.clip(yy, 0, hp - 1),
                  jnp.clip(x0i, 0, wp - 1)]           # [N, 2C]
         v0, v1 = v[:, :c], v[:, c:]
+        # x0 = -1 clips to column 0, whose pair is (feat[0], feat[1]) —
+        # the live x0+1 tap is feat[0], i.e. the *first* half
+        v1 = jnp.where((x0i < 0)[:, None], v0, v1)
         okx0 = (x0i >= 0) & (x0i < wp) & ok_y
         okx1 = (x0i + 1 >= 0) & (x0i + 1 < wp) & ok_y
         return (jnp.where(okx0[:, None], v0, 0.0),
