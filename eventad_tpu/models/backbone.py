@@ -110,7 +110,8 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 attr_range=None, self_slot0: bool = False,
                 width: int = None, height: int = None,
                 fused_block: int = 128, activation_name: str = None,
-                fused_two_block: bool = False, fused_min_rows: int = 0):
+                fused_two_block: bool = False, fused_min_rows: int = 0,
+                fused2_block: int = 256):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -220,10 +221,19 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                   else ((0, kernel_size - 1), (0, kernel_size - 1)))
         u = jnp.clip(attr_f32.astype(jnp.float32), 0.0, 1.0) \
             * (kernel_size - 1)
+        # two-block fusion (level 0 only: needs lookahead == 0): both
+        # convs, the BN affine and the activation in ONE kernel sharing
+        # the one-hot compare — the dominant VPU cost of the single-block
+        # kernel, paid once.  Wins at t=256 (v5e micro: 2.46 vs 2.92 ms
+        # for 2x1blk@128); at t=128 it loses, so it gets its own width.
+        use_fused2 = (fused_two_block and grid is None
+                      and activation_name in ("relu", "elu", "hardtanh",
+                                              "silu"))
         # larger blocks amortize the one-hot build (per-dest cost
         # ~K*(span+t+128)/t) at the price of compile time; t=512 made the
         # tunnel compile pathologically slow (>10 min)
-        tblk = min(fused_block, -(-x_in.shape[0] // 128) * 128)
+        tblk = min(fused2_block if use_fused2 else fused_block,
+                   -(-x_in.shape[0] // 128) * 128)
         prep = prepare_fused(nbr, nbr_mask, u, lookback=lb, lookahead=lf,
                              block=tblk)
 
@@ -246,12 +256,7 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                                attr_range=attr_range,
                                add_center_to_root=fold_self)
 
-    # two-block fusion (level 0 only: needs lookahead == 0): both convs,
-    # the BN affine and the activation in ONE kernel sharing the one-hot
-    # compare — the dominant VPU cost of the single-block kernel, paid once
-    use_fused2 = (use_fused and fused_two_block and grid is None
-                  and activation_name in ("relu", "elu", "hardtanh", "silu"))
-    if use_fused2:
+    if use_fused and use_fused2:
         from ..ops.spline_fused import fused_two_block_prepared
         p1, p2 = params.block1.conv, params.block2.conv
         root1, root2 = p1.root, p2.root
@@ -330,9 +335,15 @@ class BackboneConfig(NamedTuple):
     # destination-block width of the fused spline-conv kernel (lanes per
     # Pallas block); 128 minimum, larger amortizes the in-kernel one-hot
     fused_block: int = 128
-    # both level-0 conv blocks in one kernel (shared one-hot compare);
-    # OFF until Mosaic-compile-validated on the target generation
-    fused_two_block: bool = False
+    # both level-0 conv blocks in one kernel (shared one-hot compare).
+    # Device-validated: tools/check_two_block.py shows the path is as
+    # close to the f32 truth as the single-block bf16 path (rel 1.38e-1
+    # vs 1.42e-1 at random-init logit scale), and the t=256 micro wins
+    # 2.46 vs 2.92 ms (tools/bench_fused.py two 256)
+    fused_two_block: bool = True
+    # destination-block width for the two-block kernel only (t=128 loses
+    # there — the shared window DMA amortizes better at 256)
+    fused2_block: int = 256
     # pooled levels use the fused Pallas kernel only when the cell table has
     # at least this many rows (per program, = batch * nx * ny); below it the
     # dense-shift XLA formulation wins on fixed kernel-launch/prep cost
@@ -514,7 +525,8 @@ def backbone_forward(params: BackboneParams,
             self_slot0=level == 0, width=bc.width, height=bc.height,
             fused_block=bc.fused_block, activation_name=bc.activation,
             fused_two_block=bc.fused_two_block,
-            fused_min_rows=bc.fused_min_rows)
+            fused_min_rows=bc.fused_min_rows,
+            fused2_block=bc.fused2_block)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)

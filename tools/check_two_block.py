@@ -6,7 +6,7 @@ tests (tests/test_spline_fused.py) cannot catch Mosaic-specific lowering
 bugs; this drives the exact integration glue (self-edge fold, BN1/bias
 folding, skip path) that the default flip enables.
 
-Usage: python tools/check_two_block.py [n_events]
+Usage: python tools/check_two_block.py [n_events] [block]
 Prints max abs/rel logit diff; exits nonzero above tolerance.
 """
 import os
@@ -28,6 +28,7 @@ def main():
                                          model_forward)
 
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    block = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     cfg = Config(batch_size=6, use_image=True, compute_dtype="bfloat16",
                  event_buckets=(n_events,))
     params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
@@ -43,6 +44,7 @@ def main():
             return out.logits
         return np.asarray(fwd(params, state, batch)).astype(np.float64)
 
+    bc = bc._replace(fused_block=block)
     base = run(bc._replace(fused_two_block=False))
     two = run(bc._replace(fused_two_block=True))
     scale = np.abs(base).max() + 1e-9
