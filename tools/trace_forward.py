@@ -72,9 +72,17 @@ def parse(trace_dir, iters=3, top=40):
     # total_time is in microseconds, summed over all traced iterations;
     # report per-iteration milliseconds
     ms = lambda t: t / iters / 1e3
-    total = sum(r["total_time"] for r in rows)
+    # hlo_stats reports INCLUSIVE time for control-flow ops (while /
+    # conditional) — their body ops are also listed individually, so a
+    # flat sum double-counts every loop body (a scan-heavy program looked
+    # ~2x its true device time).  Exclude control flow from the total and
+    # report it separately.
+    ctrl = ("while", "conditional")
+    total = sum(r["total_time"] for r in rows if r["category"] not in ctrl)
+    t_ctrl = sum(r["total_time"] for r in rows if r["category"] in ctrl)
     print(f"device total: {ms(total):.3f} ms/iter "
-          f"({len(rows)} distinct ops)")
+          f"({len(rows)} distinct ops; control-flow inclusive time "
+          f"{ms(t_ctrl):.3f} ms excluded)")
     by_cat = {}
     for r in rows:
         by_cat.setdefault(r["category"], [0.0, 0])
