@@ -265,21 +265,33 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
             root1 = root1 + p1.weight[ci]
             root2 = root2 + p2.weight[ci]
         f32 = jnp.float32
-        bst = state.block1.bn
-        # same folded-affine arithmetic as ops/norm.batch_norm's bf16 path
-        a1 = params.block1.bn.scale.astype(f32) \
-            * jnp.reciprocal(jnp.sqrt(bst.var.astype(f32) + 1e-5))
-        b1 = params.block1.bn.offset.astype(f32) - bst.mean.astype(f32) * a1
-        if p1.bias is not None:
-            b1 = b1 + a1 * p1.bias.astype(f32)
-        h2, _ = fused_two_block_prepared(
+
+        def fold_bn(bn: BatchNormParams, st: BatchNormState, bias):
+            # same folded-affine arithmetic as ops/norm.batch_norm's bf16
+            # path; a leading conv/linear bias folds into the offset
+            a = bn.scale.astype(f32) \
+                * jnp.reciprocal(jnp.sqrt(st.var.astype(f32) + 1e-5))
+            b = bn.offset.astype(f32) - st.mean.astype(f32) * a
+            if bias is not None:
+                b = b + a * bias.astype(f32)
+            return a, b
+
+        a1, b1 = fold_bn(params.block1.bn, state.block1.bn, p1.bias)
+        a2, b2 = fold_bn(params.block2.bn, state.block2.bn, p2.bias)
+        a_s, b_s = fold_bn(params.skip_bn, state.skip_bn,
+                           params.skip_lin_bias)
+        out, _ = fused_two_block_prepared(
             x_in, prep, p1.weight, root1, a1, b1, p2.weight, root2,
             g.node_mask, kernel_size=kernel_size, ranges=ranges,
-            act=activation_name)
-        if p2.bias is not None:
-            h2 = h2 + p2.bias
-        h2 = jnp.where(g.node_mask[:, None], h2, 0.0).astype(dt)
-        bn1 = state.block1.bn          # eval: running stats unchanged
+            act=activation_name,
+            epilogue=(params.skip_lin, a2, b2, a_s, b_s))
+        # eval: all running stats unchanged
+        new_state = LayerState(ConvBlockState(state.block1.bn),
+                               ConvBlockState(state.block2.bn),
+                               state.skip_bn)
+        if return_pos_nbr:
+            return g._replace(x=out), new_state, pos_nbr
+        return g._replace(x=out), new_state
     else:
         # ConvBlock 1: conv -> bn -> act
         h = conv_block(x_in, params.block1.conv, x_j1)

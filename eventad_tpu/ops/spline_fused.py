@@ -293,10 +293,8 @@ _ACTS = {
 
 
 def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
-                   w1T_ref, r1T_ref, ab1_ref, w2T_ref, r2T_ref,
-                   out_ref, h_hbm,
-                   win, sem, winh, semh, hck, semw, ohs, xjT1, xjT2, xownT,
-                   *, t, k, ks, nxs, nys, mx0, my0, w_total, act):
+                   w1T_ref, r1T_ref, ab1_ref, w2T_ref, r2T_ref, *rest,
+                   t, k, ks, nxs, nys, mx0, my0, w_total, act, epi):
     """Two spline-conv blocks over one shared neighbour window.
 
     Requires lookahead == 0 (level-0 graph contract: edges point old->new),
@@ -305,6 +303,13 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
     columns of the two gathers are identical, so the compare — the dominant
     VPU cost of the single-block kernel — is built once.
     """
+    if epi:
+        (skT_ref, ab2_ref, out_ref, h_hbm,
+         win, sem, winh, semh, hck, semw, ohs, xjT1, xjT2, xownT) = rest
+    else:
+        skT_ref = ab2_ref = None
+        (out_ref, h_hbm,
+         win, sem, winh, semh, hck, semw, ohs, xjT1, xjT2, xownT) = rest
     i = pl.program_id(0)
     own = t // _SUB
     # root1 consumes ALL own rows, so the window floor is the own chunks
@@ -427,11 +432,23 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
                 xjT2[kk] += jnp.dot(hw, oh3[kk],
                                     preferred_element_type=jnp.float32)
 
-    # ---- block 2: conv + root (bias/BN2/skip stay with the caller) ----
+    # ---- block 2: conv + root ----
     acc2 = taps(lambda kk: xjT2[kk], w2T_ref, out_ref.shape[0])
     acc2 += jnp.dot(r2T_ref[...], hh_bf,
                     preferred_element_type=jnp.float32)
-    out_ref[...] = acc2
+    if epi:
+        # full layer tail in VMEM: skip = x_in @ skip_lin rides the own
+        # window already resident as xownT; BN2 / skip-BN are folded eval
+        # affines (biases folded by the caller); one activation + mask,
+        # emitted bf16 — the [N, O] f32 intermediate never exists in HBM
+        skip = jnp.dot(skT_ref[...], xownT[...],
+                       preferred_element_type=jnp.float32)
+        pre = (acc2 * ab2_ref[:, 0:1] + ab2_ref[:, 1:2]
+               + skip * ab2_ref[:, 2:3] + ab2_ref[:, 3:4])
+        out_ref[...] = (_ACTS[act](pre) * mask_ref[...]) \
+            .astype(out_ref.dtype)
+    else:
+        out_ref[...] = acc2
 
     for j in range(own):
         pltpu.make_async_copy(
@@ -445,6 +462,7 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
                              w2: jnp.ndarray, root2: jnp.ndarray,
                              node_mask: jnp.ndarray,
                              *, kernel_size: int, ranges, act: str = "relu",
+                             epilogue=None,
                              interpret: bool = False):
     """Both conv blocks of a level-0 layer in one kernel.
 
@@ -452,6 +470,14 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
     folded eval-BN affine, any conv bias folded into ``b1`` by the caller)
     and returns ``(out2, h)`` where ``out2[n, o] = conv2(h) + h @ root2``
     (f32; caller adds bias2/BN2/skip/act) and ``h`` is ``[N, C1]`` bf16.
+
+    With ``epilogue=(skip_lin, a2, b2, a_s, b_s)`` the WHOLE layer tail runs
+    in the kernel instead (reference conv.py:59-72 ConvBlockWithSkip):
+    ``out2 = act(a2*raw2 + b2 + a_s*(src @ skip_lin) + b_s) * node_mask``
+    where ``a*/b*`` are the folded eval-BN affines of block 2 and the skip
+    branch (conv2 bias / skip bias pre-folded into ``b2``/``b_s`` by the
+    caller).  ``out2`` is then bfloat16 — the raw f32 layer intermediate
+    never reaches HBM.
 
     Requires ``prep.lf == 0`` (level-0 window contract).
     """
@@ -504,9 +530,26 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
 
     maskf = jnp.pad(node_mask.astype(jnp.float32), (0, n_pad - n))[None]
 
+    epi = epilogue is not None
+    extra_in, extra_specs = [], []
+    if epi:
+        skip_lin, a2, b2, a_s, b_s = epilogue
+        skT = packr(skip_lin, c8, o8)
+        ab2 = jnp.zeros((o8, 4), jnp.float32)
+        ab2 = jax.lax.dynamic_update_slice(
+            ab2, jnp.stack([a2, b2, a_s, b_s], axis=1).astype(jnp.float32),
+            (0, 0))
+        extra_in = [skT, ab2]
+        extra_specs = [
+            pl.BlockSpec((o8, c8), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((o8, 4), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     kern = functools.partial(
         _fused2_kernel, t=t, k=kk, ks=ks, nxs=nxs, nys=nys,
-        mx0=mx0, my0=my0, w_total=w_total, act=act)
+        mx0=mx0, my0=my0, w_total=w_total, act=act, epi=epi)
     own = t // _SUB
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -531,7 +574,7 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((o8, c18), lambda i, ns: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=[
             pl.BlockSpec((o8, t), lambda i, ns: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -553,7 +596,8 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((o8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((o8, n_pad),
+                                 jnp.bfloat16 if epi else jnp.float32),
             jax.ShapeDtypeStruct(((prep.lb + n_pad) // _SUB, c18, _SUB),
                                  jnp.bfloat16),
         ],
@@ -561,7 +605,7 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(prep.nsub, prep.relq, prep.uxq, prep.uyq, maskf, srcT, w1T, r1T, ab1,
-      w2T, r2T)
+      w2T, r2T, *extra_in)
     h = hck.transpose(1, 0, 2).reshape(c18, -1)[:c1, prep.lb:prep.lb + n].T
     return outT[:cout, :n].T, h
 

@@ -99,7 +99,7 @@ def test_fused_all_masked_rows(rng):
     assert (np.asarray(out)[n // 2:] == 0).all()
 
 
-def _two_block_case(rng, *, block, act, n=300, tol=1e-2):
+def _two_block_case(rng, *, block, act, n=300, tol=1e-2, epilogue=False):
     """fused_two_block_prepared vs the XLA block1->BN->act->block2 chain."""
     from eventad_tpu.ops.spline_fused import (fused_two_block_prepared,
                                               prepare_fused)
@@ -141,15 +141,31 @@ def _two_block_case(rng, *, block, act, n=300, tol=1e-2):
     prep = prepare_fused(jnp.asarray(nbr), jnp.asarray(mask),
                          jnp.asarray(u), lookback=lookback, lookahead=0,
                          block=block)
+    epi = None
+    if epilogue:
+        # full layer tail: BN2 + linear-skip + skip-BN + act + mask
+        sk = (rng.randn(cin, c2) / np.sqrt(cin)).astype(np.float32)
+        a2 = (rng.rand(c2) + 0.5).astype(np.float32)
+        b2 = (rng.randn(c2) * 0.1).astype(np.float32)
+        a_s = (rng.rand(c2) + 0.5).astype(np.float32)
+        b_s = (rng.randn(c2) * 0.1).astype(np.float32)
+        epi = tuple(jnp.asarray(v) for v in (sk, a2, b2, a_s, b_s))
+        pre2 = out_ref * a2 + b2 + (x @ sk) * a_s + b_s
+        if act == "relu":
+            out_ref = np.maximum(pre2, 0.0)
+        else:
+            out_ref = np.where(pre2 > 0, pre2, np.expm1(pre2))
+        out_ref = out_ref * node_mask[:, None]
     out2, h = fused_two_block_prepared(
         jnp.asarray(x).astype(jnp.bfloat16), prep, jnp.asarray(w1),
         jnp.asarray(r1), jnp.asarray(a), jnp.asarray(b), jnp.asarray(w2),
         jnp.asarray(r2), jnp.asarray(node_mask), kernel_size=ks,
-        ranges=ranges, act=act, interpret=True)
+        ranges=ranges, act=act, epilogue=epi, interpret=True)
     hs = np.abs(h_ref).max() + 1e-6
     osc = np.abs(out_ref).max() + 1e-6
     assert np.abs(np.asarray(h) - h_ref).max() / hs < tol
-    assert np.abs(np.asarray(out2) - out_ref).max() / osc < tol
+    assert np.abs(np.asarray(out2, dtype=np.float32) - out_ref).max() \
+        / osc < tol
 
 
 def test_two_block_t128_relu(rng):
@@ -159,3 +175,8 @@ def test_two_block_t128_relu(rng):
 def test_two_block_t256_elu(rng):
     """Two own chunks per block (t=256) + non-relu activation."""
     _two_block_case(rng, block=256, act="elu")
+
+
+def test_two_block_epilogue(rng):
+    """In-kernel layer tail (BN2 + linear skip + skip-BN + act + mask)."""
+    _two_block_case(rng, block=256, act="elu", epilogue=True, tol=2e-2)
