@@ -87,6 +87,19 @@ def init_layer(key, cin: int, cout: int, kernel_size: int) -> tuple:
     return params, state
 
 
+def _fold_bn_affine(bn: BatchNormParams, st: BatchNormState, bias):
+    """Eval-BN as an affine ``a*x + b`` (same arithmetic as
+    ops/norm.batch_norm's bf16 path, f32); a leading conv/linear bias folds
+    into the offset."""
+    f32 = jnp.float32
+    a = bn.scale.astype(f32) \
+        * jnp.reciprocal(jnp.sqrt(st.var.astype(f32) + 1e-5))
+    b = bn.offset.astype(f32) - st.mean.astype(f32) * a
+    if bias is not None:
+        b = b + a * bias.astype(f32)
+    return a, b
+
+
 def level0_attr_range(bc: "BackboneConfig"):
     """Static level-0 attr bounds from the graph contract: every edge's
     pixel offset satisfies ``|dx|,|dy| <= radius_px`` (the search kernel's
@@ -111,7 +124,8 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 width: int = None, height: int = None,
                 fused_block: int = 128, activation_name: str = None,
                 fused_two_block: bool = False, fused_min_rows: int = 0,
-                fused2_block: int = 256):
+                fused2_block: int = 256, fused_shift: bool = True,
+                fused_shift_block: int = 256):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -208,6 +222,38 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
     attr_f32 = attr
     attr = attr.astype(dt)
 
+    if use_fused and grid is not None and fused_shift \
+            and activation_name in ("relu", "elu", "hardtanh", "silu"):
+        # pooled levels: the neighbour table is constant flat shifts and
+        # the (slot, tap) coefficient matrix is statically sparse — the
+        # shift-sliced kernel runs each conv block (tail included) with no
+        # gather at all (ops/spline_shift.py)
+        from ..ops.spline_shift import prepare_shift, shift_spline_conv
+        assert not fold_self
+        u = jnp.clip(attr_f32.astype(jnp.float32), 0.0, 1.0) \
+            * (kernel_size - 1)
+        prep_s = prepare_shift(
+            u, nbr_mask, g.node_mask, grid=grid, span=span,
+            cart_max=cart_max, width=width, height=height,
+            kernel_size=kernel_size, block=fused_shift_block)
+        p1, p2 = params.block1.conv, params.block2.conv
+        a1, b1 = _fold_bn_affine(params.block1.bn, state.block1.bn, p1.bias)
+        a2, b2 = _fold_bn_affine(params.block2.bn, state.block2.bn, p2.bias)
+        a_s, b_s = _fold_bn_affine(params.skip_bn, state.skip_bn,
+                                   params.skip_lin_bias)
+        h = shift_spline_conv(x_in, prep_s, p1.weight, p1.root, a1, b1,
+                              kernel_size=kernel_size, act=activation_name)
+        out = shift_spline_conv(
+            h, prep_s, p2.weight, p2.root, a2, b2,
+            kernel_size=kernel_size, act=activation_name,
+            skip=(x_in, params.skip_lin, a_s, b_s))
+        new_state = LayerState(ConvBlockState(state.block1.bn),
+                               ConvBlockState(state.block2.bn),
+                               state.skip_bn)
+        if return_pos_nbr:
+            return g._replace(x=out), new_state, pos_nbr
+        return g._replace(x=out), new_state
+
     if use_fused:
         from ..ops.spline_conv import center_index, tap_ranges
         from ..ops.spline_fused import (fused_spline_conv_prepared,
@@ -264,22 +310,10 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
             ci = center_index(kernel_size)
             root1 = root1 + p1.weight[ci]
             root2 = root2 + p2.weight[ci]
-        f32 = jnp.float32
-
-        def fold_bn(bn: BatchNormParams, st: BatchNormState, bias):
-            # same folded-affine arithmetic as ops/norm.batch_norm's bf16
-            # path; a leading conv/linear bias folds into the offset
-            a = bn.scale.astype(f32) \
-                * jnp.reciprocal(jnp.sqrt(st.var.astype(f32) + 1e-5))
-            b = bn.offset.astype(f32) - st.mean.astype(f32) * a
-            if bias is not None:
-                b = b + a * bias.astype(f32)
-            return a, b
-
-        a1, b1 = fold_bn(params.block1.bn, state.block1.bn, p1.bias)
-        a2, b2 = fold_bn(params.block2.bn, state.block2.bn, p2.bias)
-        a_s, b_s = fold_bn(params.skip_bn, state.skip_bn,
-                           params.skip_lin_bias)
+        a1, b1 = _fold_bn_affine(params.block1.bn, state.block1.bn, p1.bias)
+        a2, b2 = _fold_bn_affine(params.block2.bn, state.block2.bn, p2.bias)
+        a_s, b_s = _fold_bn_affine(params.skip_bn, state.skip_bn,
+                                   params.skip_lin_bias)
         out, _ = fused_two_block_prepared(
             x_in, prep, p1.weight, root1, a1, b1, p2.weight, root2,
             g.node_mask, kernel_size=kernel_size, ranges=ranges,
@@ -361,6 +395,11 @@ class BackboneConfig(NamedTuple):
     # dense-shift XLA formulation wins on fixed kernel-launch/prep cost
     # (tools/bench_fused.py stream). 0 = always fused (round-3 behaviour).
     fused_min_rows: int = 0
+    # pooled levels via the shift-sliced statically-pruned kernel
+    # (ops/spline_shift.py) instead of the generic windowed one-hot gather
+    fused_shift: bool = True
+    # destination-block width of the shift kernel
+    fused_shift_block: int = 256
     # level-0 image-feature fetch via the separable-bilinear Pallas
     # kernel (ops/bilinear_sample.py) instead of upsample + row gather.
     # OFF: measured on v5e (tools/bench_bilinear.py) the kernel beats the
@@ -538,7 +577,8 @@ def backbone_forward(params: BackboneParams,
             fused_block=bc.fused_block, activation_name=bc.activation,
             fused_two_block=bc.fused_two_block,
             fused_min_rows=bc.fused_min_rows,
-            fused2_block=bc.fused2_block)
+            fused2_block=bc.fused2_block, fused_shift=bc.fused_shift,
+            fused_shift_block=bc.fused_shift_block)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)
