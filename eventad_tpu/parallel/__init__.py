@@ -1,3 +1,5 @@
 from .mesh import make_mesh, shard_batch  # noqa: F401
+from .sharding import (param_shardings, shard_params,  # noqa: F401
+                       sharded_init)
 from .train_step import (PlateauState, TrainStepFns, make_optimizer,  # noqa
                          make_train_fns, plateau_init, plateau_update)

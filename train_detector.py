@@ -60,9 +60,13 @@ def main(argv=None):
     train_loader = Loader(train_ds, cfg, shuffle=True, seed=cfg.seed)
     val_loader = Loader(val_ds, cfg, shuffle=False)
 
-    # data-parallel mesh (same contract as train.py): batch leaves sharded
-    # on 'data', params replicated, gradient all-reduce inserted by jit
+    # 2-D mesh (same 'data' contract as train.py): batch leaves sharded on
+    # 'data'; with a model axis > 1 ("NxM" spec) the large detector weights
+    # are additionally sharded over 'model' (parallel/sharding.py — XLA's
+    # SPMD partitioner turns that into tensor-parallel compute or FSDP-style
+    # just-in-time gathers per op, and grads/optimizer state stay sharded)
     mesh = make_mesh(cfg.mesh) if cfg.mesh not in ("", "1") else None
+    model_parallel = mesh is not None and mesh.shape["model"] > 1
 
     def to_device(batch):
         batch = jax.tree.map(jnp.asarray, batch)
@@ -72,6 +76,9 @@ def main(argv=None):
         return batch
 
     params, state, bc = init_detector(jax.random.PRNGKey(cfg.seed), cfg)
+    if model_parallel:
+        from eventad_tpu.parallel import shard_params
+        params = shard_params(params, mesh)
     grids = [bc.grids[2], bc.grids[3]]
     strides = [int(round(bc.height / g[1])) for g in grids]
     geom = make_anchor_geometry(grids, strides)
@@ -82,8 +89,14 @@ def main(argv=None):
                               total_steps=total_steps)
     optimizer = make_detector_optimizer(cfg.optimizer, schedule,
                                         cfg.weight_decay, cfg.clip)
-    opt_state = optimizer.init(params)
-    ema = ema_init(params)
+    if model_parallel:
+        # jitted inits: moments/EMA inherit the parameter shardings
+        from eventad_tpu.parallel import sharded_init
+        opt_state = sharded_init(optimizer.init, params, mesh)
+        ema = sharded_init(ema_init, params, mesh)
+    else:
+        opt_state = optimizer.init(params)
+        ema = ema_init(params)
 
     def loss_fn(params, state, batch, l1_weight):
         _dets, decoded, new_state = detector_forward(
