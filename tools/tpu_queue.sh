@@ -33,7 +33,7 @@ run() {
 run two128   1200 python tools/bench_fused.py two 128
 run two256   1200 python tools/bench_fused.py two 256
 # 1b. integration exactness on the real device (flag on vs off)
-run two_check 1800 python tools/check_two_block.py
+run fused_check 1800 python tools/check_fused.py
 # 2. single-block t=256 bisect
 run level0_256 1200 python tools/bench_fused.py level0 256
 # 3. re-trace the batched forward at HEAD (s2d stem included)
