@@ -125,7 +125,7 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
                 fused_block: int = 128, activation_name: str = None,
                 fused_two_block: bool = False, fused_min_rows: int = 0,
                 fused2_block: int = 256, fused_shift: bool = True,
-                fused_shift_block: int = 256):
+                fused_shift_block: int = 256, pos_nbr_pre=None):
     """reference conv.py:59-72: block1 -> block2 with linear skip.
 
     With ``attr=None`` + ``cart_max``, the layer fetches ONE combined row
@@ -200,8 +200,12 @@ def apply_layer(params: LayerParams, state: LayerState, g: Graph,
             pos_nbr = (ipos[:, None, :] - offk).astype(jnp.float32) / wh
     elif attr is None and use_fused:
         # pooled fused level: only positions are needed host-side (dense
-        # shifts); features are gathered inside the kernel
-        pos_nbr = neighbor_rows(g.pos[:, :2], grid, batch_size, span)
+        # shifts); features are gathered inside the kernel.  The pooling
+        # that built this table already shifted the position columns
+        # (pool_graph return_pos_nbr) — reuse them instead of a second
+        # 25-slice shift set
+        pos_nbr = (pos_nbr_pre if pos_nbr_pre is not None
+                   else neighbor_rows(g.pos[:, :2], grid, batch_size, span))
         a = (g.pos[:, None, :2] - pos_nbr) / (2.0 * cart_max) + 0.5
         a = jnp.clip(a, 0.0, 1.0)
         attr = jnp.where(nbr_mask[..., None], a, 0.5)
@@ -480,6 +484,11 @@ def backbone_forward(params: BackboneParams,
     new_states = []
     dt = (jnp.bfloat16 if bc.compute_dtype == "bfloat16" else jnp.float32)
     g = g0._replace(x=g0.x.astype(dt))
+    # mirror of apply_layer's use_fused gate for pooled levels: when the
+    # fused kernels will run, the pooling's combined shift pass also carries
+    # the position columns the conv needs (one shift set per level, not two)
+    fused_pooled = (dt == jnp.bfloat16 and not training and bc.aggr == "sum"
+                    and jax.default_backend() == "tpu")
 
     # levels 0 and 1 both sample at the level-0 event positions; upsample
     # those two maps to full resolution (static matmuls) and fetch both
@@ -552,16 +561,23 @@ def backbone_forward(params: BackboneParams,
                 from ..data.pool_tables import table_slices
                 lo, hi = table_slices(bc.grids)[level - 1]
                 ht = pool_tables[:, lo:hi].reshape(-1, 4)
+            want_pos = (fused_pooled and bc.batch_size
+                        * bc.grids[level - 1][0] * bc.grids[level - 1][1]
+                        >= bc.fused_min_rows)
             pooled = pool_graph(
                 g.x, g.pos, g.nbr[:, s0:], g.nbr_mask[:, s0:], g.node_mask,
                 g.batch,
                 grid=bc.grids[level - 1], batch_size=bc.batch_size,
                 width=bc.width, height=bc.height, aggr=aggr,
                 span=2, keep_temporal_ordering=bc.keep_temporal_ordering,
-                pos_src=pos_nbr, host_table=ht)
+                pos_src=pos_nbr, host_table=ht, return_pos_nbr=want_pos)
+            pos_nbr_pre = None
+            if want_pos:
+                pooled, pos_nbr_pre = pooled
             g = Graph(pooled.x, pooled.pos, pooled.nbr, pooled.nbr_mask,
                       pooled.node_mask, pooled.batch)
         else:
+            pos_nbr_pre = None
             g = cat_image(g, 0)
         g = cat_rel(g)
         g, ls, pos_nbr = apply_layer(
@@ -578,7 +594,8 @@ def backbone_forward(params: BackboneParams,
             fused_two_block=bc.fused_two_block,
             fused_min_rows=bc.fused_min_rows,
             fused2_block=bc.fused2_block, fused_shift=bc.fused_shift,
-            fused_shift_block=bc.fused_shift_block)
+            fused_shift_block=bc.fused_shift_block,
+            pos_nbr_pre=pos_nbr_pre)
         new_states.append(ls)
         if level >= 3:
             outs.append(g)      # out3 (after layer4), out4 (after layer5)

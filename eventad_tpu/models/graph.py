@@ -150,14 +150,19 @@ def sample_image_features(feat: jnp.ndarray,
     y0i = y0.astype(jnp.int32)
 
     # pair the two horizontal taps channel-wise so bilinear sampling costs 2
-    # row gathers instead of 4 (TPU gathers fetch a full tile per index)
+    # row gathers instead of 4 (TPU gathers fetch a full tile per index);
+    # gather by FLAT row index on a [B*H*W, 2C] operand — the 4-D indexed
+    # form leaves XLA operand-layout freedom it spends on transpose pairs
+    # around each gather (~0.38 ms/iter of layout churn at level 2-4 scale)
     feat_r = jnp.concatenate([feat[:, :, 1:], feat[:, :, -1:]], axis=2)
     pair = jnp.concatenate([feat, feat_r], axis=3)   # [B, H, W, 2C]
+    pair = pair.reshape(b * hp * wp, 2 * c)
 
     def tap_pair(yy):
         ok_y = (yy >= 0) & (yy < hp)
-        v = pair[batch, jnp.clip(yy, 0, hp - 1),
-                 jnp.clip(x0i, 0, wp - 1)]           # [N, 2C]
+        idx = (batch * hp + jnp.clip(yy, 0, hp - 1)) * wp \
+            + jnp.clip(x0i, 0, wp - 1)
+        v = pair[idx]                                # [N, 2C]
         v0, v1 = v[:, :c], v[:, c:]
         # x0 = -1 clips to column 0, whose pair is (feat[0], feat[1]) —
         # the live x0+1 tap is feat[0], i.e. the *first* half

@@ -52,7 +52,8 @@ def pool_graph(x: jnp.ndarray,
                span: int = 2,
                keep_temporal_ordering: bool = False,
                pos_src: jnp.ndarray = None,
-               host_table: jnp.ndarray = None) -> PooledGraph:
+               host_table: jnp.ndarray = None,
+               return_pos_nbr: bool = False):
     """Args:
       x ``[N, C]``, pos ``[N, 3]`` normalized, nbr/nbr_mask ``[N, K]``,
       node_mask ``[N]``, batch ``[N]`` int32 item ids.
@@ -66,8 +67,13 @@ def pool_graph(x: jnp.ndarray,
       pos_src: optional pre-gathered neighbour positions ``[N, K, 2]``
         (normalized) — avoids re-gathering ``cell[nbr]`` (TPU gathers cost
         a full tile per index; the conv already gathered these rows).
+      return_pos_nbr: also return the pooled table's per-slot neighbour
+        positions ``[M, S, 2]`` (== ``neighbor_rows(pooled_pos[:, :2])``);
+        they ride the SAME 2-D shift pass as the activity/temporal columns,
+        saving the downstream conv its own 25-slice shift set.
 
-    Returns a :class:`PooledGraph` over ``M = batch_size * nx * ny`` cells.
+    Returns a :class:`PooledGraph` over ``M = batch_size * nx * ny`` cells
+    (with ``return_pos_nbr``: a ``(PooledGraph, pos_nbr)`` tuple).
     """
     nx, ny = grid
     ncells = nx * ny
@@ -205,28 +211,39 @@ def pool_graph(x: jnp.ndarray,
     in_fov = (nxs >= 0) & (nxs < nx) & (nys >= 0) & (nys < ny)
     nbr_out = cb[:, None] * ncells + jnp.clip(nys, 0, ny - 1) * nx \
         + jnp.clip(nxs, 0, nx - 1)
-    # source-cell activity/tmax: dense 2-D shifts of the grid-shaped
-    # column (slot order matches neighbor_rows), not an [M, S] gather
+    # source-cell activity/tmax/positions: dense 2-D shifts of ONE combined
+    # grid-shaped column table (slot order matches neighbor_rows), not an
+    # [M, S] gather — and not one shift set per quantity (each shift set is
+    # ~27 tiny device ops; the pooled tables are small enough that op count
+    # is the cost)
     from ..models.graph import neighbor_rows
     mask_out = exist & in_fov & active[:, None]
-    act_nbr = neighbor_rows(active[:, None].astype(jnp.float32), grid,
-                            batch_size, span)[..., 0] > 0
-    mask_out = mask_out & act_nbr
-
+    cols = [active[:, None].astype(jnp.float32)]
     if keep_temporal_ordering:  # pooling.py:69-72
         tmax = jnp.full((m_total + 1,), -jnp.inf, dtype=pos.dtype)
         tmax = tmax.at[cell_safe].max(
             jnp.where(node_mask, pos[:, 2], -jnp.inf))[:m_total]
-        tmax_nbr = neighbor_rows(
-            jnp.where(jnp.isfinite(tmax), tmax, -jnp.inf)[:, None], grid,
-            batch_size, span)[..., 0]
+        cols.append(jnp.where(jnp.isfinite(tmax), tmax,
+                              -jnp.inf)[:, None].astype(jnp.float32))
+    if return_pos_nbr:
+        cols.append(pooled_pos[:, :2].astype(jnp.float32))
+    shifts = neighbor_rows(jnp.concatenate(cols, axis=1), grid,
+                           batch_size, span)
+    mask_out = mask_out & (shifts[..., 0] > 0)
+    col = 1
+    if keep_temporal_ordering:
         # out-of-grid slots come back 0 from the shift; they are already
         # masked by in_fov above
-        mask_out = mask_out & (tmax[:, None] > tmax_nbr)
+        mask_out = mask_out & (tmax[:, None] > shifts[..., 1])
+        col = 2
+    pos_nbr_out = shifts[..., col:col + 2] if return_pos_nbr else None
 
     nbr_out = jnp.where(mask_out, nbr_out, 0)
     pooled_x = jnp.where(active[:, None], pooled_x, 0.0)
     batch_out = cb
 
-    return PooledGraph(pooled_x, pooled_pos, nbr_out, mask_out, active,
-                       batch_out)
+    pg = PooledGraph(pooled_x, pooled_pos, nbr_out, mask_out, active,
+                     batch_out)
+    if return_pos_nbr:
+        return pg, pos_nbr_out
+    return pg
