@@ -24,8 +24,8 @@ from ..ops.norm import (BatchNormParams, BatchNormState, batch_norm,
 from ..ops.pooling import pool_graph
 from ..ops.spline_conv import (SplineConvParams, init_spline_conv,
                                spline_conv)
-from .graph import (Graph, lookup_pixel_features, neighbor_rows,
-                    sample_image_features, upsample_align_corners)
+from .graph import (Graph, neighbor_rows, sample_image_features,
+                    upsample_lookup)
 
 
 # ---------------------------------------------------------------------------
@@ -513,13 +513,9 @@ def backbone_forward(params: BackboneParams,
                     full_width=bc.width, full_height=bc.height,
                     batch_size=bc.batch_size) for i in (0, 1)], axis=1)
         else:
-            up01 = jnp.concatenate(
-                [upsample_align_corners(image_feats[0].astype(dt), bc.width,
-                                        bc.height),
-                 upsample_align_corners(image_feats[1].astype(dt), bc.width,
-                                        bc.height)], axis=-1)
-            rows01 = lookup_pixel_features(up01, g0.pos, g0.batch,
-                                           g0.node_mask, bc.width, bc.height)
+            rows01 = upsample_lookup(
+                [image_feats[0].astype(dt), image_feats[1].astype(dt)],
+                g0.pos, g0.batch, g0.node_mask, bc.width, bc.height)
 
     def cat_image(g, level):
         if not bc.use_image:

@@ -100,6 +100,43 @@ def upsample_align_corners(feat: jnp.ndarray, full_width: int,
     return jnp.einsum("Hh,bhWc->bHWc", ay, up)
 
 
+def upsample_lookup(feats, pos: jnp.ndarray, batch: jnp.ndarray,
+                    node_mask: jnp.ndarray, full_width: int,
+                    full_height: int) -> jnp.ndarray:
+    """Fused upsample-to-full-resolution + per-node row lookup over one or
+    more NHWC maps (channel-concatenated output) — the level-0/1 image
+    feature fetch.
+
+    Equals ``lookup_pixel_features(concat(upsample_align_corners(f)))`` but
+    keeps every intermediate in its producer's NATURAL layout: the two
+    interpolation contractions emit ``[Wf, b, h, c]`` then ``[Hf, Wf, b, c]``
+    row-major, and the lookup gathers flat rows ``(y * Wf + x) * b + batch``
+    of the ``[Hf * Wf * b, C]`` view. The einsum+NHWC-gather form leaves XLA
+    operand-layout freedom it spends on full-resolution relayout copies
+    (~0.5 ms/batch at [6,240,360,80]; tools/bench_upsample.py)."""
+    b, h, w = feats[0].shape[0], full_height, full_width
+    ups = []
+    for f in feats:
+        hp, wp = f.shape[1:3]
+        ay = jnp.asarray(_interp_matrix(h, hp), f.dtype)
+        ax = jnp.asarray(_interp_matrix(w, wp), f.dtype)
+        # [Wf, b, hp, c] — natural row-major output of the W contraction
+        uw = jax.lax.dot_general(ax, f, (((1,), (2,)), ((), ())))
+        # [Hf, Wf, b, c]
+        ups.append(jax.lax.dot_general(ay, uw, (((1,), (2,)), ((), ()))))
+    up = ups[0] if len(ups) == 1 else jnp.concatenate(ups, axis=-1)
+    c = up.shape[-1]
+    xi = jnp.clip(jnp.round(pos[:, 0] * full_width).astype(jnp.int32),
+                  0, w - 1)
+    yi = jnp.clip(jnp.round(pos[:, 1] * full_height).astype(jnp.int32),
+                  0, h - 1)
+    # 3-index gather on the 4-D operand: its natural {3,2,1,0} layout is
+    # already what the row gather wants; a flat [H*W*b, C] view would
+    # re-pad the (b, c) tile (0.75 ms relayout pair, trace-measured)
+    rows = up[yi, xi, batch]
+    return jnp.where(node_mask[:, None], rows, 0)
+
+
 def lookup_pixel_features(feat: jnp.ndarray,
                           pos: jnp.ndarray,
                           batch: jnp.ndarray,
