@@ -93,6 +93,48 @@ def main():
     sync(outs[-1])
     dt_pipe = time.perf_counter() - t0
 
+    # scan-amortized device time: run the forward N times inside ONE
+    # program (lax.scan with a serialising scalar carry), so the host
+    # enqueue rate (~10 ms/dispatch through the axon tunnel, which BOUNDS
+    # the pipelined protocol above) drops out entirely. The carry perturbs
+    # EVERY batch input by a dynamically-zero scalar (add-0 / xor-false are
+    # not foldable when the operand is dynamic), so no stage of the model —
+    # graph build, CNN branch, image gather — is loop-invariant and nothing
+    # can be hoisted out of the scan. Parameters stay invariant, which is
+    # the real serving situation. Two scan lengths make the host round-trip
+    # cancel exactly: device_ms = (T_n2 - T_n1) / (n2 - n1).
+    from eventad_tpu.utils.jaxtools import dynamic_zero_perturb as perturb
+
+    def make_scan(n):
+        @jax.jit
+        def fwd_scan(params, state, batch):
+            def body(c, _):
+                out, _ = model_forward(params, state, perturb(batch, c),
+                                       bc, mc, gsc,
+                                       img_net=cfg.img_net, training=False)
+                return (out.logits[0, 0].sum() * 0.0).astype(jnp.float32), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return c
+        return fwd_scan
+
+    n1, n2 = 10, 40
+    scan1, scan2 = make_scan(n1), make_scan(n2)
+    print("bench: compiling scan programs...", file=sys.stderr)
+    sync(scan1(params, state, batch))
+    print("bench: scan1 compiled", file=sys.stderr)
+    sync(scan2(params, state, batch))
+    print("bench: scan2 compiled", file=sys.stderr)
+
+    def best_wall(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(f(params, state, batch))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    scan_device_ms = (best_wall(scan2) - best_wall(scan1)) / (n2 - n1) * 1e3
+
     fps = n_boxes * iters / dt
     per_batch_ms = dt / iters * 1e3
     device_ms = dt_pipe / iters * 1e3
@@ -111,11 +153,17 @@ def main():
         # round-trip; the RTT term is the axon tunnel's (32-50 ms, +-40%
         # between processes) and is NOT controllable from this repo
         "device_ms_per_batch": round(device_ms, 2),
-        "est_rtt_ms": round(max(per_batch_ms - device_ms, 0.0), 2),
+        # pure device throughput (scan-amortised, host enqueue cancelled);
+        # the "pipelined" figures above are bounded by the tunnel's
+        # ~10 ms/dispatch enqueue rate, not by the chip
+        "scan_device_ms_per_batch": round(scan_device_ms, 2),
+        "scan_bboxes_per_sec": round(n_boxes / scan_device_ms * 1e3, 2),
+        "scan_vs_baseline": round(n_boxes / scan_device_ms * 1e3
+                                  / BASELINE_FPS, 3),
+        "est_rtt_ms": round(max(per_batch_ms - scan_device_ms, 0.0), 2),
     }
-    # roofline view: use the pipelined per-batch time (pure device time,
-    # no host round-trip) as the denominator
-    dev_s = dt_pipe / iters
+    # roofline view: scan-amortised per-batch device time as denominator
+    dev_s = scan_device_ms / 1e3
     if xla_flops:
         result["mfu"] = round(xla_flops / dev_s / PEAK_FLOPS, 5)
         result["hbm_gbps"] = round(xla_bytes / dev_s / 1e9, 1)

@@ -264,17 +264,33 @@ def build_graph_pallas(pos: jnp.ndarray,
         interpret=interpret,
     )(lmax, prw, tw)
 
-    # [k_pad, chunk, p_pad] -> [B, n_pad, k_other]
-    packed = d_sel[:k_other, :, :p_total].transpose(2, 1, 0) \
-        .reshape(b, n_pad, k_other)[:, :n]
-    found = packed >= 0
+    # Decode the packed keys in the kernel's OWN [k, chunk, p] layout —
+    # p (b*chunks) rides the lanes at full 128-wide vregs. The [B, n, k]
+    # layout puts k=15 minor, wasting 7/8 of every vreg on the ~20-op
+    # spiral decode (trace: 0.14 ms in the compare/select chain alone).
+    # Pack (dy, dx, d) into one s32 here, transpose ONCE (same bytes the
+    # old path transposed), and unpack with 6 cheap int ops after.
     d_span = jnp.int32(2 * lookback)
-    d = jnp.where(found, packed % d_span, 0)
-    spiral = jnp.where(found, (packed // d_span) // q_cap, 0)
-    sdx, sdy = spiral_offset(spiral)          # src - dst pixel offsets
+    side_i = jnp.int32(side)
+    km = d_sel[:k_other]                            # [k_other, chunk, p_pad]
+    kfound = km >= 0
+    kd = jnp.where(kfound, km % d_span, 0)
+    kspiral = jnp.where(kfound, (km // d_span) // q_cap, 0)
+    ksdx, ksdy = spiral_offset(kspiral)       # src - dst pixel offsets
+    kok = kfound & (kd > 0)
+    kcode = (ksdy + radius) * side_i + (ksdx + radius)
+    kv = jnp.where(kok, kcode * d_span + kd, -1)    # kd in [1, d_span)
+
+    # [k_other, chunk, p_pad] -> [B, n_pad, k_other]
+    v = kv[:, :, :p_total].transpose(2, 1, 0) \
+        .reshape(b, n_pad, k_other)[:, :n]
+    found = v >= 0
+    d = jnp.where(found, v % d_span, 0)             # -1 % d_span masked
+    code = v // d_span                              # floor: -1 -> -1, masked
+    sdx = jnp.where(found, code % side_i - radius, 0)
+    sdy = jnp.where(found, code // side_i - radius, 0)
     dst = jnp.arange(n, dtype=jnp.int32)[None, :, None]
-    nbr = jnp.where(found & (d > 0), dst - d, 0)
-    found = found & (d > 0)
+    nbr = jnp.where(found, dst - d, 0)
 
     self_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :,
                                                                None],

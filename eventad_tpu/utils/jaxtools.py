@@ -67,6 +67,31 @@ def wait_for_tpu(max_wait_s: float = 1500.0, probe_timeout_s: float = 240.0,
         time.sleep(period_s)
 
 
+def dynamic_zero_perturb(tree, c):
+    """Perturb every array in ``tree`` by the dynamically-zero scalar ``c``
+    (float add-0 / int add-0 / bool xor-false), so a ``lax.scan`` body that
+    consumes the result treats the whole tree as loop-VARYING: XLA cannot
+    hoist any stage that reads it, because it cannot prove ``c == 0``.
+
+    Benchmarking helper: scan-amortised timings must not let the compiler
+    hoist input-dependent stages (graph build, CNN branch) out of the loop,
+    which would overstate throughput. Values are bit-identical when
+    ``c == 0.0`` (add-0 flips -0.0 to +0.0, which no input here carries).
+    """
+    import jax
+    import jax.numpy as jnp
+    ci = c.astype(jnp.int32)
+    cb = c != 0.0
+
+    def p(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x + c.astype(x.dtype)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return x + ci.astype(x.dtype)
+        return jnp.logical_xor(x, cb)
+    return jax.tree.map(p, tree)
+
+
 def setup_debug_nans(enable: bool):
     """TPU analog of the reference's always-on torch detect_anomaly
     (utils/train.py:118) — opt-in here because it inhibits fusion."""

@@ -60,6 +60,44 @@ def main():
     print(f"train step ({dtype}): {dt*1e3:.2f} ms/batch, "
           f"{cfg.batch_size/dt:.1f} items/s pipelined")
 
+    # scan-amortised device time: N optimizer steps inside ONE program, so
+    # the ~10 ms/dispatch tunnel enqueue rate drops out. The params carry
+    # serialises the steps; the batch is additionally perturbed by a
+    # dynamically-zero scalar chained off the loss so batch-only stages
+    # (graph build, CNN branch) cannot be hoisted as loop-invariant — in
+    # real training every step sees a fresh batch.
+    from eventad_tpu.utils.jaxtools import dynamic_zero_perturb
+
+    def make_scan(n):
+        @jax.jit
+        def train_scan(p, s, o):
+            def body(carry, _):
+                p, s, o, c = carry
+                b2 = dynamic_zero_perturb(batch, c)
+                p, s, o, m = fns.train_step(p, s, o, b2, rng)
+                return (p, s, o, (m["loss"] * 0.0).astype(jnp.float32)), ()
+            (p, s, o, c), _ = jax.lax.scan(
+                body, (p, s, o, jnp.float32(0.0)), None, length=n)
+            return c
+        return train_scan
+
+    n1, n2 = 5, 20
+    scan1, scan2 = make_scan(n1), make_scan(n2)
+    np.asarray(scan1(p, s, o))                      # compile
+    np.asarray(scan2(p, s, o))
+
+    def best_wall(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(p, s, o))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    scan_ms = (best_wall(scan2) - best_wall(scan1)) / (n2 - n1) * 1e3
+    print(f"train step ({dtype}): {scan_ms:.2f} ms/batch device "
+          f"(scan-amortised), {cfg.batch_size/scan_ms*1e3:.1f} items/s")
+
 
 if __name__ == "__main__":
     main()
