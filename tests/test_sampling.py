@@ -65,6 +65,36 @@ def test_upsample_lookup_matches_bilinear(rng):
     assert (got[~mask] == 0).all()
 
 
+def test_upsample_lookup_fused(rng):
+    """upsample_lookup (fused multi-map upsample + row fetch) == per-map
+    upsample_align_corners + lookup_pixel_features."""
+    from eventad_tpu.models.graph import (lookup_pixel_features,
+                                          upsample_align_corners,
+                                          upsample_lookup)
+    b = 2
+    w_full, h_full = 36, 24
+    maps = [(6, 9, 4), (12, 18, 3)]
+    feats = [rng.randn(b, hp, wp, c).astype(np.float32)
+             for hp, wp, c in maps]
+    n = 300
+    xi = rng.randint(0, w_full, n)
+    yi = rng.randint(0, h_full, n)
+    pos = np.stack([xi / w_full, yi / h_full,
+                    np.zeros(n)], axis=1).astype(np.float32)
+    batch = rng.randint(0, b, n).astype(np.int32)
+    mask = rng.rand(n) > 0.1
+    want = np.concatenate([
+        np.asarray(lookup_pixel_features(
+            upsample_align_corners(jnp.asarray(f), w_full, h_full),
+            jnp.asarray(pos), jnp.asarray(batch), jnp.asarray(mask),
+            w_full, h_full)) for f in feats], axis=1)
+    got = np.asarray(upsample_lookup(
+        [jnp.asarray(f) for f in feats], jnp.asarray(pos),
+        jnp.asarray(batch), jnp.asarray(mask), w_full, h_full))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert (got[~mask] == 0).all()
+
+
 def test_sampling_edge_positions(rng):
     """positions at the exact right/bottom borders (last column/row taps)."""
     b, hp, wp, c = 1, 6, 8, 3
