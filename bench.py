@@ -151,8 +151,11 @@ def main():
         "frames_per_sec": round(cfg.batch_size * iters / dt, 2),
         # sync-number decomposition: per-call time = device time + host
         # round-trip; the RTT term is the axon tunnel's (32-50 ms, +-40%
-        # between processes) and is NOT controllable from this repo
-        "device_ms_per_batch": round(device_ms, 2),
+        # between processes) and is NOT controllable from this repo.
+        # NOTE: bounded by the tunnel's ~10 ms/dispatch host enqueue rate,
+        # not the chip — the device-true number is scan_device_ms_per_batch
+        # (key was "device_ms_per_batch" through BENCH_r02)
+        "pipelined_ms_per_batch": round(device_ms, 2),
         # pure device throughput (scan-amortised, host enqueue cancelled);
         # the "pipelined" figures above are bounded by the tunnel's
         # ~10 ms/dispatch enqueue rate, not by the chip

@@ -386,7 +386,7 @@ class BackboneConfig(NamedTuple):
     # Pallas block); 128 minimum, larger amortizes the in-kernel one-hot
     fused_block: int = 128
     # both level-0 conv blocks in one kernel (shared one-hot compare).
-    # Device-validated: tools/check_two_block.py shows the path is as
+    # Device-validated: tools/check_fused.py shows the path is as
     # close to the f32 truth as the single-block bf16 path (rel 1.38e-1
     # vs 1.42e-1 at random-init logit scale), and the t=256 micro wins
     # 2.46 vs 2.92 ms (tools/bench_fused.py two 256)

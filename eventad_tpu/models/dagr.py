@@ -83,7 +83,7 @@ def build_level0_graph(pos: jnp.ndarray,       # [B, N, 3] int32
     nbr, nbrm, doff = build_graph_auto(
         pos, valid, ranks, radius=radius_px, delta_t_us=delta_t_us,
         max_neighbors=max_nb, max_queue_size=max_q,
-        lookback=min(lookback, n))
+        lookback=min(lookback, n), grid_wh=(width, height))
     off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
     nbr_f = (nbr + off).reshape(b * n, -1)
     nbrm_f = nbrm.reshape(b * n, -1)

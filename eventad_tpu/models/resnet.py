@@ -10,6 +10,7 @@ can fill them from a torchvision checkpoint for parity runs.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -236,6 +237,21 @@ def cnn_branch_forward(params, state, image, arch: str = "resnet50",
                           if a.dtype == jnp.float32 else a)
         params = jax.tree.map(cast, params)
         image = image.astype(jnp.bfloat16)
+    # Sublane-pad the batch: at b=6 the convs tile batch onto 8 sublanes
+    # anyway, and the odd size makes XLA thread per-block relayout copies
+    # through the branch — batch 8 measures FASTER in absolute time than
+    # batch 6 (1.36 vs 1.61 ms device, tools/bench_cnn.py v2 vs v0). Dead
+    # rows are exact no-ops here: convs are per-item and eval BN is a
+    # per-channel affine of running stats. Eval only (training BN batch
+    # statistics would see the zero rows), and only where the pad ratio
+    # stays small (b=5..7 -> 8; never the streaming b=1 path).
+    b_in = image.shape[0]
+    pad_b = (-b_in) % 8 if (not training and 5 <= b_in <= 7) else 0
+    if pad_b and os.environ.get("EVENTAD_CNN_PAD", "1") == "1":
+        image = jnp.concatenate(
+            [image, jnp.zeros((pad_b,) + image.shape[1:], image.dtype)], 0)
+    else:
+        pad_b = 0
     taps, ns = resnet_forward(params["resnet"], state, image, arch, training)
     feats = [
         _conv(taps[l], params["feature_dconv"][i]["w"])
@@ -245,4 +261,7 @@ def cnn_branch_forward(params, state, image, arch: str = "resnet50",
         _conv(taps[l], params["output_dconv"][i]["w"])
         + params["output_dconv"][i]["b"]
         for i, l in enumerate(OUTPUT_LAYERS)]
+    if pad_b:
+        feats = [f[:b_in] for f in feats]
+        outs = [o[:b_in] for o in outs]
     return feats, outs, ns

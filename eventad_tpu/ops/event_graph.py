@@ -161,8 +161,12 @@ def build_graph_single(pos: jnp.ndarray,
                        max_neighbors: int = 16,
                        max_queue_size: int = 128,
                        lookback: int = 1024,
-                       chunk: int = 512):
-    """Neighbour search for one batch item.
+                       chunk: int = 512,
+                       grid_wh: tuple = None):
+    """Neighbour search for one batch item. ``grid_wh`` is accepted for
+    call-site symmetry with the Pallas kernel (which packs pixel keys and
+    needs the static coordinate bound); this formulation keeps x/y separate
+    and does not use it.
 
     Args:
       pos: ``[N, 3]`` int32 (x, y, t_us), in stream order (the reference feeds

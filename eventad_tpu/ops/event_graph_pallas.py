@@ -45,16 +45,18 @@ _SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
 
 def _select_kernel(lmax_ref, pr_ref, t_ref,
                    d_out_ref, *, lookback, chunk, k_pad,
-                   radius, delta_t_us, q_cap):
+                   radius, delta_t_us, q_cap, x_bits):
     """Refs: windows ``[W, 128]`` (W = lookback + chunk, lanes = chunks);
-    ``pr = (y * 2^15 + x) * 256 + rank`` packs pixel AND queue rank in one
-    int32 (pix < 2^23, rank <= Q+1 <= 255) — one window array + relayout
+    ``pr = (y * 2^x_bits + x) * 256 + rank`` packs pixel AND queue rank in
+    one int32 (pix < 2^23, rank <= Q+1 <= 255) — one window array + relayout
     instead of two; outputs ``[k_pad, chunk, 128]`` (packed keys)."""
     l, cs = lookback, chunk
+    x_mask = (1 << x_bits) - 1
+    y_shift = 8 + x_bits
     pid = pl.program_id(0)
     pri = pr_ref[l:l + cs, :]
-    xi = (pri >> 8) & 0x7FFF
-    yi = pri >> 23
+    xi = (pri >> 8) & x_mask
+    yi = pri >> y_shift
     ti = t_ref[l:l + cs, :]
     rki = pri & 255
     # fold destination validity (rki <= q_cap) into the radius check by
@@ -79,8 +81,8 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
         pr_b = pr_ref[pl.ds(l - d0 - (d_block - 1), cs + d_block), :]
         ts_b = t_ref[pl.ds(l - d0 - (d_block - 1), cs + d_block), :]
         # unpack once per slab (vs once per candidate sub-slice)
-        xs_b = (pr_b >> 8) & 0x7FFF
-        ys_b = pr_b >> 23
+        xs_b = (pr_b >> 8) & x_mask
+        ys_b = pr_b >> y_shift
         rs_b = pr_b & 255
         cand = []
         for k in range(d_block):      # static sub-slices of the slab
@@ -158,9 +160,16 @@ def build_graph_pallas(pos: jnp.ndarray,
                        max_queue_size: int = 128,
                        lookback: int = 1024,
                        chunk: int = 128,
+                       grid_wh: tuple = None,
                        interpret: bool = False):
     """Batched neighbour search: ``pos [B, N, 3]``, ``valid [B, N]``.
-    Returns ``nbr [B, N, K]``, ``nbr_mask [B, N, K]`` (slot 0 = self)."""
+    Returns ``nbr [B, N, K]``, ``nbr_mask [B, N, K]`` (slot 0 = self).
+
+    ``grid_wh = (width, height)`` bounds the pixel coordinates: the packed
+    int32 key gives x the fewest bits that fit ``width``, and the fit of
+    ``height`` in the remaining bits is asserted statically. Without it the
+    legacy split (x: 15 bits) applies, which silently requires y < 256 —
+    production call sites must pass ``grid_wh``."""
     b, n, _ = pos.shape
     k_other = max_neighbors - 1
     k_pad = -(-k_other // 8) * 8      # sublane-friendly top-K depth
@@ -176,10 +185,18 @@ def build_graph_pallas(pos: jnp.ndarray,
     w = lookback + chunk
     q_cap = np.int32(max_queue_size)
 
+    if grid_wh is not None:
+        gw, gh = int(grid_wh[0]), int(grid_wh[1])
+        x_bits = max(int(gw - 1).bit_length(), 1)
+        assert (gh - 1) * (1 << x_bits) + (gw - 1) < (1 << 23), \
+            f"grid {gw}x{gh} overflows the 23-bit packed pixel key"
+    else:
+        x_bits = 15   # legacy split; caller must guarantee y < 256
+
     x = pos[:, :, 0]
     y = pos[:, :, 1]
     t = pos[:, :, 2]
-    pix = y * jnp.int32(1 << 15) + x
+    pix = y * jnp.int32(1 << x_bits) + x
     if ranks is None:   # in-graph fallback (streaming path); the batch
         # pipeline precomputes ranks on the host (native evio)
         ranks = jax.vmap(queue_rank)(pix, valid)
@@ -248,7 +265,7 @@ def build_graph_pallas(pos: jnp.ndarray,
     kern = functools.partial(
         _select_kernel, lookback=lookback, chunk=chunk, k_pad=k_pad,
         radius=np.int32(radius), delta_t_us=np.int32(delta_t_us),
-        q_cap=q_cap)
+        q_cap=q_cap, x_bits=x_bits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_programs,),

@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .spline_basis import ACTS, axis_weights
+
 _SUB = 128      # window chunk (events per DMA)
 
 
@@ -107,18 +109,8 @@ def _fused_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm, wT_ref,
     jax.lax.fori_loop(0, n_sub, sub_body, 0)
 
     # ---- spline basis for all slots at once ([K, t] dense lanes) ----
-    ux = uxq_ref[...]
-    uy = uyq_ref[...]
-    ix0 = jnp.clip(jnp.floor(ux).astype(jnp.int32), 0, ks - 2)
-    iy0 = jnp.clip(jnp.floor(uy).astype(jnp.int32), 0, ks - 2)
-    frx = ux - ix0.astype(jnp.float32)
-    fry = uy - iy0.astype(jnp.float32)
-    lx = ix0 - mx0
-    ly = iy0 - my0
-    cxs = [jnp.where(lx == mx, 1.0 - frx, 0.0)
-           + jnp.where(lx == mx - 1, frx, 0.0) for mx in range(nxs)]
-    cys = [jnp.where(ly == my, 1.0 - fry, 0.0)
-           + jnp.where(ly == my - 1, fry, 0.0) for my in range(nys)]
+    cxs, cys = axis_weights(uxq_ref[...], uyq_ref[...], ks,
+                            mx0=mx0, my0=my0, nxs=nxs, nys=nys)
 
     # ---- z-contraction + kernel matmul: [1, t] coefficient rows
     # broadcast over the C8 sublanes; z_m accumulates functionally (no
@@ -284,14 +276,6 @@ def fused_spline_conv_prepared(src: jnp.ndarray,
 # pass, sharing the one-hot compare between the blocks.
 # ---------------------------------------------------------------------------
 
-_ACTS = {
-    "relu": lambda x: jnp.maximum(x, 0.0),
-    "elu": lambda x: jnp.where(x > 0, x, jnp.expm1(x)),
-    "hardtanh": lambda x: jnp.clip(x, -1.0, 1.0),
-    "silu": lambda x: x * jax.nn.sigmoid(x),
-}
-
-
 def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
                    w1T_ref, r1T_ref, ab1_ref, w2T_ref, r2T_ref, *rest,
                    t, k, ks, nxs, nys, mx0, my0, w_total, act, epi):
@@ -379,18 +363,8 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
     jax.lax.fori_loop(own, n_sub, older_body, 0)
 
     # ---- spline basis (shared by both blocks) ----
-    ux = uxq_ref[...]
-    uy = uyq_ref[...]
-    ix0 = jnp.clip(jnp.floor(ux).astype(jnp.int32), 0, ks - 2)
-    iy0 = jnp.clip(jnp.floor(uy).astype(jnp.int32), 0, ks - 2)
-    frx = ux - ix0.astype(jnp.float32)
-    fry = uy - iy0.astype(jnp.float32)
-    lx = ix0 - mx0
-    ly = iy0 - my0
-    cxs = [jnp.where(lx == mx, 1.0 - frx, 0.0)
-           + jnp.where(lx == mx - 1, frx, 0.0) for mx in range(nxs)]
-    cys = [jnp.where(ly == my, 1.0 - fry, 0.0)
-           + jnp.where(ly == my - 1, fry, 0.0) for my in range(nys)]
+    cxs, cys = axis_weights(uxq_ref[...], uyq_ref[...], ks,
+                            mx0=mx0, my0=my0, nxs=nxs, nys=nys)
 
     def taps(get_xj, wT_ref, o8):
         acc = jnp.zeros((o8, t), jnp.float32)
@@ -411,7 +385,7 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
                     preferred_element_type=jnp.float32)
     a1 = ab1_ref[:, 0:1]
     b1 = ab1_ref[:, 1:2]
-    hh = _ACTS[act](acc1 * a1 + b1) * mask_ref[...]
+    hh = ACTS[act](acc1 * a1 + b1) * mask_ref[...]
     hh_bf = hh.astype(jnp.bfloat16)
 
     # publish h chunks (next grid steps read them as block2's window)
@@ -445,7 +419,7 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
                        preferred_element_type=jnp.float32)
         pre = (acc2 * ab2_ref[:, 0:1] + ab2_ref[:, 1:2]
                + skip * ab2_ref[:, 2:3] + ab2_ref[:, 3:4])
-        out_ref[...] = (_ACTS[act](pre) * mask_ref[...]) \
+        out_ref[...] = (ACTS[act](pre) * mask_ref[...]) \
             .astype(out_ref.dtype)
     else:
         out_ref[...] = acc2

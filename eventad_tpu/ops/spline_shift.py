@@ -42,15 +42,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SUB = 128
+from .spline_basis import ACTS, axis_weights
 
-_ACTS = {
-    None: lambda x: x,
-    "relu": lambda x: jnp.maximum(x, 0.0),
-    "elu": lambda x: jnp.where(x > 0, x, jnp.expm1(x)),
-    "hardtanh": lambda x: jnp.clip(x, -1.0, 1.0),
-    "silu": lambda x: x * jax.nn.sigmoid(x),
-}
+_SUB = 128
 
 
 def _pad8(x: int) -> int:
@@ -166,18 +160,10 @@ def _shift_kernel(uxq_ref, uyq_ref, mq_ref, nodeq_ref, srcT_hbm, wT_ref,
     for k, d in enumerate(d_offs):
         xjT[k] = xwin[:, lb + d:lb + d + t].astype(jnp.float32)
 
-    ux = uxq_ref[...]
-    uy = uyq_ref[...]
-    ix0 = jnp.clip(jnp.floor(ux).astype(jnp.int32), 0, ks - 2)
-    iy0 = jnp.clip(jnp.floor(uy).astype(jnp.int32), 0, ks - 2)
-    frx = ux - ix0.astype(jnp.float32)
-    fry = uy - iy0.astype(jnp.float32)
+    cxs, cys = axis_weights(uxq_ref[...], uyq_ref[...], ks)
     mqv = mq_ref[...]
     # edge mask folds into the x-axis factor once
-    cxs = [(jnp.where(ix0 == mx, 1.0 - frx, 0.0)
-            + jnp.where(ix0 == mx - 1, frx, 0.0)) * mqv for mx in range(ks)]
-    cys = [jnp.where(iy0 == my, 1.0 - fry, 0.0)
-           + jnp.where(iy0 == my - 1, fry, 0.0) for my in range(ks)]
+    cxs = [c * mqv for c in cxs]
 
     acc = jnp.zeros((out_ref.shape[0], t), jnp.float32)
     for mi, (my, mx, slots) in enumerate(tap_slots):
@@ -197,7 +183,7 @@ def _shift_kernel(uxq_ref, uyq_ref, mq_ref, nodeq_ref, srcT_hbm, wT_ref,
         skip = jnp.dot(skT_ref[...], xo_ref[...],
                        preferred_element_type=jnp.float32)
         pre = pre + skip * ab_ref[:, 2:3] + ab_ref[:, 3:4]
-    out_ref[...] = (_ACTS[act](pre) * nodeq_ref[...]).astype(out_ref.dtype)
+    out_ref[...] = (ACTS[act](pre) * nodeq_ref[...]).astype(out_ref.dtype)
 
 
 def shift_spline_conv(src: jnp.ndarray, prep: ShiftPrep,

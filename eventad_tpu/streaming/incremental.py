@@ -243,7 +243,8 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         nbr, nbrm, doff = build_graph_auto(
             state.pos[None], state.valid[None], radius=radius_px,
             delta_t_us=delta_t_us, max_neighbors=max_nb,
-            max_queue_size=max_q, lookback=lb_exact)
+            max_queue_size=max_q, lookback=lb_exact,
+            grid_wh=(width, height))
         nbr, nbrm, doff = nbr[0], nbrm[0], doff[0]
         attr = offset_attr(doff, nbrm, bc.cart_max[0], width, height)
         h_b1_rows, h1_rows, h_b1_full = _layer1_rows(
@@ -294,7 +295,8 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         nbr_t, nbrm_t, doff_t = build_graph_auto(
             tail_pos[None], tail_valid[None], radius=radius_px,
             delta_t_us=delta_t_us, max_neighbors=max_nb,
-            max_queue_size=max_q, lookback=lookback)
+            max_queue_size=max_q, lookback=lookback,
+            grid_wh=(width, height))
         nbr_t, nbrm_t, doff_t = nbr_t[0], nbrm_t[0], doff_t[0]
         nbr_c = nbr_t[-k:] + w0
         nbrm_c = nbrm_t[-k:]
