@@ -50,3 +50,32 @@ def test_pallas_batched_partial_chunks(rng):
         assert (np.asarray(mask[b]) == rm).all()
         assert (np.where(rm, np.asarray(nbr[b]), 0)
                 == np.where(rm, rn, 0)).all()
+
+
+def test_pallas_tall_grid_key_packing(rng):
+    """Sensors taller than 256 px: the packed pixel key's x field must
+    shrink to the static width so y gets the remaining bits (the legacy
+    fixed 15-bit x split wrapped the int32 key for y >= 256)."""
+    w, h = 640, 480
+    pos, valid = make_events(rng, 384, w=w, h=h, n_valid=370)
+    pos[:, 1] = np.maximum(pos[:, 1], 256)       # force the overflow zone
+    kw = dict(radius=3, delta_t_us=40_000, max_neighbors=8,
+              max_queue_size=16)
+    ref_nbr, ref_mask, ref_off = build_graph_numpy(pos, valid, **kw)
+    nbr, mask, off = build_graph_pallas(
+        jnp.asarray(pos)[None], jnp.asarray(valid)[None],
+        lookback=384, chunk=128, grid_wh=(w, h), interpret=True, **kw)
+    assert (np.asarray(mask[0]) == ref_mask).all()
+    assert (np.where(ref_mask, np.asarray(nbr[0]), 0)
+            == np.where(ref_mask, ref_nbr, 0)).all()
+    assert (np.where(ref_mask[..., None], np.asarray(off[0]), 0)
+            == np.where(ref_mask[..., None], ref_off, 0)).all()
+
+
+def test_pallas_grid_too_tall_asserts():
+    import pytest
+    pos = jnp.zeros((1, 128, 3), jnp.int32)
+    valid = jnp.ones((1, 128), bool)
+    with pytest.raises(AssertionError, match="packed pixel key"):
+        build_graph_pallas(pos, valid, radius=3, delta_t_us=1000,
+                           grid_wh=(2048, 8192), interpret=True)
