@@ -76,6 +76,61 @@ def test_gather_window_gradient(rng):
     np.testing.assert_allclose(g_kernel, g_xla, rtol=1e-4, atol=1e-5)
 
 
+def _scatter_oracle(g, nbr, mask, n_src):
+    gm = np.where(mask[..., None], g, 0.0)
+    out = np.zeros((n_src, g.shape[-1]), np.float64)
+    np.add.at(out, nbr.reshape(-1),
+              gm.reshape(-1, g.shape[-1]).astype(np.float64))
+    return out.astype(np.float32)
+
+
+def test_scatter_window_matches_oracle(rng):
+    """Windowed scatter-add (the gather VJP) vs the XLA scatter oracle,
+    across multiple source blocks."""
+    from eventad_tpu.ops.gather_window import scatter_window_rows
+
+    n, k, c, lb = 700, 8, 10, 150
+    src, nbr, mask = _case(rng, n, k, c, lb)
+    g = rng.randn(n, k, c).astype(np.float32)
+    out = np.asarray(scatter_window_rows(
+        jnp.asarray(g), jnp.asarray(nbr), jnp.asarray(mask), n,
+        block=256, parts=3, interpret=True))
+    want = _scatter_oracle(g, nbr, mask, n)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_window_parts2(rng):
+    from eventad_tpu.ops.gather_window import scatter_window_rows
+
+    n, k, c, lb = 300, 16, 19, 128
+    src, nbr, mask = _case(rng, n, k, c, lb)
+    g = rng.randn(n, k, c).astype(np.float32)
+    out = np.asarray(scatter_window_rows(
+        jnp.asarray(g), jnp.asarray(nbr), jnp.asarray(mask), n,
+        block=128, parts=2, interpret=True))
+    want = _scatter_oracle(g, nbr, mask, n)
+    np.testing.assert_allclose(out, want, rtol=5e-5, atol=2e-4)
+
+
+def test_scatter_window_bf16(rng):
+    """bf16 cotangents scatter with exact products (f32 MXU accumulate)."""
+    from eventad_tpu.ops.gather_window import scatter_window_rows
+
+    n, k, c, lb = 300, 8, 16, 128
+    src, nbr, mask = _case(rng, n, k, c, lb)
+    g16 = jnp.asarray(rng.randn(n, k, c).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    out = np.asarray(scatter_window_rows(
+        g16, jnp.asarray(nbr), jnp.asarray(mask), n,
+        block=256, out_dtype=jnp.bfloat16, interpret=True)
+        .astype(jnp.float32))
+    want = _scatter_oracle(np.asarray(g16.astype(jnp.float32)),
+                           nbr, mask, n)
+    np.testing.assert_allclose(
+        out, jnp.asarray(want).astype(jnp.bfloat16).astype(jnp.float32),
+        rtol=1e-2, atol=1e-2)
+
+
 def test_gather_window_full_lookback(rng):
     """Neighbours spanning the whole (rounded-up) window depth."""
     n, k, c, lb = 520, 4, 7, 260
