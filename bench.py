@@ -4,12 +4,24 @@ pipeline at the reference's operating point (360x240, batch 6, dagr-S,
 ResNet-50 fusion), measured like the reference FPS harness (bounding boxes
 per second, utils/fps.py:58).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: 595.48 bboxes/s (reference committed run, BASELINE.md).
+
+Timeout resilience (the round-3 driver run timed out before printing
+anything, BENCH_r03.json rc=124): the sync + pipelined headline is printed
+and FLUSHED as soon as it is measured; the scan-amortized device metrics
+and their extra compiles only run within a wall-clock budget
+(EVENTAD_BENCH_BUDGET_S, default 300 s measured from process start) and any
+failure there still leaves the first parseable record.  The final line is a
+superset of the first (same headline values).
 """
 import json
+import os
 import sys
 import time
+
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("EVENTAD_BENCH_BUDGET_S", "300"))
 
 from eventad_tpu.utils.jaxtools import setup_compilation_cache, wait_for_tpu
 wait_for_tpu()   # bounded wait if the axon tunnel is down (vs hanging)
@@ -22,6 +34,11 @@ import numpy as np
 BASELINE_FPS = 595.48
 
 
+def _log(msg):
+    print(f"bench[{time.monotonic() - T_START:6.1f}s]: {msg}",
+          file=sys.stderr, flush=True)
+
+
 def main():
     from eventad_tpu.config import Config
     from eventad_tpu.data.synthetic import make_synthetic_batch
@@ -31,8 +48,8 @@ def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
     # bf16 frozen-feature path is the production inference mode (validated
-    # vs f32 in tests/test_bf16_path.py); pass "float32" as argv[2] for the
-    # strict-f32 number
+    # vs f32 in tests/test_bf16_path.py at trained logit scale); pass
+    # "float32" as argv[2] for the strict-f32 number
     cfg = Config(batch_size=6, use_image=True, compute_dtype=dtype,
                  event_buckets=(n_events,))   # 1080/3 x 720/3 = 360x240
     params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
@@ -46,20 +63,6 @@ def main():
                                img_net=cfg.img_net, training=False)
         return out.logits
 
-    # roofline denominators from XLA's own cost model of the compiled
-    # program (flops + logical bytes accessed); v5e peaks: 197 TFLOP/s
-    # bf16 MXU, 819 GB/s HBM
-    try:
-        cost = fwd.lower(params, state, batch).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        xla_flops = float(cost.get("flops", 0.0))
-        xla_bytes = float(cost.get("bytes accessed", 0.0))
-    except Exception:
-        xla_flops = xla_bytes = 0.0
-    PEAK_FLOPS = 197e12
-    PEAK_HBM = 819e9
-
     # bboxes per batch, counted like the reference (bbox + bbox0)
     n_boxes = int(np.asarray(batch.bbox_mask).sum()
                   + np.asarray(batch.bbox0_mask).sum())
@@ -69,7 +72,9 @@ def main():
         # the axon tunnel (block_until_ready alone returns early there)
         np.asarray(out).ravel()[0]
 
+    _log("compiling forward...")
     sync(fwd(params, state, batch))   # compile
+    _log("forward compiled")
     warmup, iters = 5, 20
     for _ in range(warmup):
         sync(fwd(params, state, batch))
@@ -92,6 +97,51 @@ def main():
     outs = [fwd(params, state, batch) for _ in range(iters)]
     sync(outs[-1])
     dt_pipe = time.perf_counter() - t0
+
+    fps = n_boxes * iters / dt
+    per_batch_ms = dt / iters * 1e3
+    device_ms = dt_pipe / iters * 1e3
+    result = {
+        "metric": "inference_bboxes_per_sec",
+        "value": round(fps, 2),
+        "unit": "bboxes/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "batch_ms": round(per_batch_ms, 2),
+        "pipelined_bboxes_per_sec": round(n_boxes * iters / dt_pipe, 2),
+        "pipelined_vs_baseline": round(n_boxes * iters / dt_pipe
+                                       / BASELINE_FPS, 3),
+        "events_per_item": n_events,
+        "frames_per_sec": round(cfg.batch_size * iters / dt, 2),
+        # sync-number decomposition: per-call time = device time + host
+        # round-trip; the RTT term is the axon tunnel's (32-50 ms, +-40%
+        # between processes) and is NOT controllable from this repo.
+        # NOTE: bounded by the tunnel's ~10 ms/dispatch host enqueue rate,
+        # not the chip — the device-true number is scan_device_ms_per_batch
+        # (key was "device_ms_per_batch" through BENCH_r02)
+        "pipelined_ms_per_batch": round(device_ms, 2),
+    }
+    # FIRST parseable record: a later timeout/crash cannot erase this
+    print(json.dumps(result), flush=True)
+    _log("headline printed; computing roofline + scan metrics")
+
+    # ---- analytic roofline (model flops, minimum HBM bytes) -------------
+    # XLA's cost model cannot see the Pallas custom calls and its "bytes
+    # accessed" is pre-fusion logical volume (BENCH_r02's number implied
+    # 2.1x the physical HBM peak) — utils/roofline.py derives both
+    # numerators from the architecture instead; XLA's figures are kept as
+    # auxiliary fields for comparison.
+    from eventad_tpu.utils.roofline import forward_roofline, roofline_rates
+    roof = forward_roofline(cfg, n_events)
+    try:
+        cost = fwd.lower(params, state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        result["xla_gflops_per_batch"] = round(
+            float(cost.get("flops", 0.0)) / 1e9, 1)
+        result["xla_gbytes_per_batch"] = round(
+            float(cost.get("bytes accessed", 0.0)) / 1e9, 2)
+    except Exception as e:
+        _log(f"cost analysis unavailable: {e}")
 
     # scan-amortized device time: run the forward N times inside ONE
     # program (lax.scan with a serialising scalar carry), so the host
@@ -117,14 +167,6 @@ def main():
             return c
         return fwd_scan
 
-    n1, n2 = 10, 40
-    scan1, scan2 = make_scan(n1), make_scan(n2)
-    print("bench: compiling scan programs...", file=sys.stderr)
-    sync(scan1(params, state, batch))
-    print("bench: scan1 compiled", file=sys.stderr)
-    sync(scan2(params, state, batch))
-    print("bench: scan2 compiled", file=sys.stderr)
-
     def best_wall(f, reps=3):
         ts = []
         for _ in range(reps):
@@ -133,46 +175,47 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    scan_device_ms = (best_wall(scan2) - best_wall(scan1)) / (n2 - n1) * 1e3
+    scan_device_ms = None
+    try:
+        n1, n2 = 10, 40
+        if time.monotonic() - T_START < BUDGET_S:
+            scan1 = make_scan(n1)
+            _log("compiling scan program (length %d)..." % n1)
+            sync(scan1(params, state, batch))
+            _log("scan1 compiled")
+            w1 = best_wall(scan1)
+            if time.monotonic() - T_START < BUDGET_S:
+                scan2 = make_scan(n2)
+                _log("compiling scan program (length %d)..." % n2)
+                sync(scan2(params, state, batch))
+                _log("scan2 compiled")
+                scan_device_ms = (best_wall(scan2) - w1) / (n2 - n1) * 1e3
+            else:
+                # single-scan fallback: subtract the RTT estimated from the
+                # sync-vs-pipelined decomposition (coarser, but recorded)
+                rtt = max(per_batch_ms - dt_pipe / iters * 1e3, 0.0)
+                scan_device_ms = max(w1 * 1e3 - rtt, 0.0) / n1
+                result["scan_single_program"] = True
+                _log("budget exceeded after scan1 — single-scan estimate")
+        else:
+            _log(f"budget {BUDGET_S:.0f}s exceeded — skipping scan metrics")
+    except Exception as e:
+        _log(f"scan metrics failed: {e}")
 
-    fps = n_boxes * iters / dt
-    per_batch_ms = dt / iters * 1e3
-    device_ms = dt_pipe / iters * 1e3
-    result = {
-        "metric": "inference_bboxes_per_sec",
-        "value": round(fps, 2),
-        "unit": "bboxes/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "batch_ms": round(per_batch_ms, 2),
-        "pipelined_bboxes_per_sec": round(n_boxes * iters / dt_pipe, 2),
-        "pipelined_vs_baseline": round(n_boxes * iters / dt_pipe
-                                       / BASELINE_FPS, 3),
-        "events_per_item": n_events,
-        "frames_per_sec": round(cfg.batch_size * iters / dt, 2),
-        # sync-number decomposition: per-call time = device time + host
-        # round-trip; the RTT term is the axon tunnel's (32-50 ms, +-40%
-        # between processes) and is NOT controllable from this repo.
-        # NOTE: bounded by the tunnel's ~10 ms/dispatch host enqueue rate,
-        # not the chip — the device-true number is scan_device_ms_per_batch
-        # (key was "device_ms_per_batch" through BENCH_r02)
-        "pipelined_ms_per_batch": round(device_ms, 2),
-        # pure device throughput (scan-amortised, host enqueue cancelled);
-        # the "pipelined" figures above are bounded by the tunnel's
-        # ~10 ms/dispatch enqueue rate, not by the chip
-        "scan_device_ms_per_batch": round(scan_device_ms, 2),
-        "scan_bboxes_per_sec": round(n_boxes / scan_device_ms * 1e3, 2),
-        "scan_vs_baseline": round(n_boxes / scan_device_ms * 1e3
-                                  / BASELINE_FPS, 3),
-        "est_rtt_ms": round(max(per_batch_ms - scan_device_ms, 0.0), 2),
-    }
-    # roofline view: scan-amortised per-batch device time as denominator
-    dev_s = scan_device_ms / 1e3
-    if xla_flops:
-        result["mfu"] = round(xla_flops / dev_s / PEAK_FLOPS, 5)
-        result["hbm_gbps"] = round(xla_bytes / dev_s / 1e9, 1)
-        result["xla_gflops_per_batch"] = round(xla_flops / 1e9, 1)
-        result["xla_gbytes_per_batch"] = round(xla_bytes / 1e9, 2)
-    print(json.dumps(result))
+    if scan_device_ms:
+        result.update({
+            # pure device throughput (scan-amortised, host enqueue
+            # cancelled); the "pipelined" figures above are bounded by the
+            # tunnel's ~10 ms/dispatch enqueue rate, not by the chip
+            "scan_device_ms_per_batch": round(scan_device_ms, 2),
+            "scan_bboxes_per_sec": round(n_boxes / scan_device_ms * 1e3, 2),
+            "scan_vs_baseline": round(n_boxes / scan_device_ms * 1e3
+                                      / BASELINE_FPS, 3),
+            "est_rtt_ms": round(max(per_batch_ms - scan_device_ms, 0.0), 2),
+        })
+        # roofline view over the scan-amortised per-batch device time
+        result.update(roofline_rates(roof, scan_device_ms / 1e3))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

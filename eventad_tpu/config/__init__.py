@@ -130,6 +130,10 @@ class Config:
     compute_dtype: str = TPU_DEFAULTS["compute_dtype"]
     mesh: str = TPU_DEFAULTS["mesh"]
     synthetic_data: bool = False   # run on generated fixture data
+    # parity.py fixture mode: deterministic head fine-tune steps before the
+    # golden eval, so scores discriminate at trained logit scale and all 5
+    # metric families (incl. mTTA/mRESPONSE thresholds) come out finite
+    fixture_train_steps: int = 800
 
     # ------------------------------------------------------------------
     # derived geometry

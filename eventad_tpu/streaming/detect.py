@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.detector import DetectorParams, DetectorState
-from ..models.eventad import EventADConfig
 from ..models.graph import upsample_align_corners
 from ..models.resnet import cnn_branch_forward
 from ..models.yolox_head import (cnn_head_forward, decode_outputs,
@@ -65,8 +64,10 @@ def make_incremental_detector(params: DetectorParams,
     ``read_detections(state)`` produces ``(detections dict, decoded)`` like
     the batch ``detector_forward`` on the same event window (consistency
     covered by tests/test_streaming_detect.py)."""
-    mc = EventADConfig()     # placeholder; the anomaly head is never traced
-    refresh, step = make_incremental_step(params, mstate, bc, mc, gsc,
+    # mc=None: headless mode — the shared level-0 machinery only; any
+    # head-dependent entry point (step/read_scores) raises instead of
+    # silently tracing placeholder anomaly-head dimensions
+    refresh, step = make_incremental_step(params, mstate, bc, None, gsc,
                                           n_chunk=n_chunk, n_buf=n_buf)
     grids, _, strides = _head_geometry(bc)
     num_scales = len(params.head.scales)

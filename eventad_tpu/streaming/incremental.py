@@ -221,6 +221,12 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
     ``step_fn(state, new_pos, new_pol, n_new, boxes, box_present)`` appends
     a chunk and returns per-slot logits.
 
+    ``mc=None`` builds the shared level-0 machinery WITHOUT an anomaly
+    head (the streaming detector's mode, detect.py): ``refresh``/``append``
+    work as usual, while every head-dependent entry point
+    (``step``/``read_scores``/``step_many``) raises instead of silently
+    tracing placeholder head dimensions.
+
     The returned namespace also exposes the split API:
     ``append(state, new_pos, new_pol, n_new)`` ingests a chunk updating only
     the level-0 caches (the event-rate hot path), and
@@ -315,8 +321,17 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
                                nbrm0=nbrm0, off0=off0, h_b1=h_b1_full,
                                h1=state.h1.at[-k:].set(h1_rows))
 
+    def _require_head():
+        if mc is None:
+            raise RuntimeError(
+                "this incremental step was built without an anomaly-head "
+                "config (mc=None, the streaming-detector mode): "
+                "step/read_scores/step_many are unavailable; use "
+                "append/read_detections")
+
     @jax.jit
     def read_scores(state: IncrementalState, boxes, box_present):
+        _require_head()
         posn = _norm_pos(state.pos, state.t_now, gsc)
         return _upper_levels_and_head(params, mstate, bc, mc, state, posn,
                                       boxes, box_present, gsc)
@@ -324,6 +339,7 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
     @jax.jit
     def step(state: IncrementalState, new_pos, new_pol, n_new, boxes,
              box_present):
+        _require_head()
         state = append(state, new_pos, new_pol, n_new)
         posn = _norm_pos(state.pos, state.t_now, gsc)
         return _upper_levels_and_head(params, mstate, bc, mc, state, posn,
@@ -355,6 +371,8 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         dispatch amortizes the per-call host round-trip, so the per-frame
         quotient is the honest device frame rate (the streaming north-star
         measurement)."""
+        _require_head()
+
         def body(st, xs):
             p, q, n, bx, bp = xs
             st = append(st, p, q, n)

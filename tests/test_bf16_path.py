@@ -83,3 +83,32 @@ def test_bf16_train_step_descends():
                for a in jax.tree.leaves(p.head)
                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
                                                          jnp.floating))
+
+
+def test_bf16_auc_matches_f32_at_trained_scale(tmp_path):
+    """Metric-level bf16 evidence at TRAINED logit scale (round-4 item: the
+    random-init logit tolerance above is weaker than the signal).  The
+    fixture-trained head (parity.py, deterministic 800-step fine-tune) is
+    evaluated once in f32 and once with compute_dtype=bfloat16 over the
+    identical converted checkpoints; the metric the reference optimizes
+    (bbox AUC) must agree within 0.5%."""
+    import parity
+    args = ["--synthetic_data", "true",
+            "--width", "96", "--height", "72", "--scale", "1",
+            "--batch_size", "2", "--use_image", "false",
+            "--event_buckets", "4096", "--graph_lookback", "512",
+            "--num_workers", "0", "--seed", "7",
+            "--dataset_directory", str(tmp_path / "data"),
+            "--output_dir", str(tmp_path / "out")]
+    m32 = parity.main(args)
+    # second run reuses the trained fixture checkpoints written by the first
+    m16 = parity.main(args + ["--compute_dtype", "bfloat16"])
+    assert np.isfinite(m32["AUC"]) and np.isfinite(m16["AUC"])
+    assert abs(m16["AUC"] - m32["AUC"]) <= 0.005 * m32["AUC"], \
+        (m32["AUC"], m16["AUC"])
+    assert abs(m16["AUC-Frame"] - m32["AUC-Frame"]) \
+        <= 0.005 * m32["AUC-Frame"], (m32["AUC-Frame"], m16["AUC-Frame"])
+    # trained-scale scores: bf16 must not perturb the mean score stream by
+    # more than ~0.5% relative either
+    assert abs(m16["score_mean"] - m32["score_mean"]) \
+        <= 0.005 * abs(m32["score_mean"])
