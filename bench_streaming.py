@@ -36,7 +36,14 @@ def main():
         "p99_ms": round(lat["p99_ms"], 3),
         "append_p50_ms": round(lat["append_p50_ms"], 3),
         "refresh_ms": round(lat["refresh_ms"], 3),
+        # per-dispatch wall with device-staged inputs (includes the
+        # tunnel's enqueue floor, reported separately below)
         "device_step_ms": round(lat["device_step_ms"], 3),
+        # true single-dispatch DEVICE latency (profiler; tunnel-proof)
+        "device_step_trace_ms":
+            round(lat["device_step_trace_ms"], 3)
+            if lat.get("device_step_trace_ms") else None,
+        "dispatch_floor_ms": round(lat["dispatch_floor_ms"], 3),
         "device_step_scan_ms": round(lat["device_step_scan_ms"], 3),
         "device_append_ms": round(lat["device_append_ms"], 3),
         "device_append_scan_ms": round(lat["device_append_scan_ms"], 3),

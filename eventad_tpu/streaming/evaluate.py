@@ -226,26 +226,71 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
     times = np.sort(np.array(times))
     atimes = np.sort(np.array(atimes))
 
-    # device-time estimates: enqueue a run of steps, one final sync — the
+    # per-dispatch estimates: enqueue a run of steps, one final sync — the
     # per-call timings above pay a ~35-40 ms host round-trip through the
-    # dev tunnel per step, which colocated deployment would not
-    def pipelined(fn, n=20):
-        """fn(state) -> (state, last_output)."""
-        s2, last = fn(st)                 # compile + warm
+    # dev tunnel per step, which colocated deployment would not.  Inputs
+    # are STAGED ON DEVICE before timing (with live, advancing
+    # timestamps): generating + transferring each chunk inside the timed
+    # loop costs ~3 ms of host work per dispatch through the tunnel and
+    # was the round-3 inflation of this number (4.9 "device" ms that were
+    # neither device nor dispatch).  What remains per dispatch is device
+    # compute + the tunnel's irreducible enqueue floor (measured below as
+    # dispatch_floor_ms; tools/probe_dispatch.py decomposition).
+    ones_dev = jnp.ones((n_chunk,))
+    nnew_dev = jnp.int32(n_chunk)
+
+    def staged(n):
+        nonlocal t_base
+        cks = [chunk(t_base + 2000 * i) for i in range(n)]
+        t_base += 2000 * n          # keep the event clock live across calls
+        return cks
+
+    def pipelined_staged(fn, n=30):
+        """fn(state, chunk) -> (state, last_output); chunks pre-staged."""
+        cks = staged(n + 1)
+        s2, last = fn(st, cks[0])          # compile + warm
         _ = np.asarray(jax.tree.leaves(last)[0]).ravel()[0]
         t0 = time.perf_counter()
-        for _ in range(n):
-            s2, last = fn(s2)
+        for i in range(n):
+            s2, last = fn(s2, cks[i + 1])
         _ = np.asarray(jax.tree.leaves(last)[0]).ravel()[0]
         return (time.perf_counter() - t0) / n * 1e3
 
-    dev_step = pipelined(lambda s: step(
-        s, chunk(t_base), jnp.ones((n_chunk,)), jnp.int32(n_chunk), boxes,
-        present))
-    dev_append = pipelined(lambda s: (
-        step.append(s, chunk(t_base), jnp.ones((n_chunk,)),
-                    jnp.int32(n_chunk)),) * 2)
-    dev_read = pipelined(lambda s: step.read_scores(s, boxes, present))
+    dev_step = pipelined_staged(
+        lambda s, ck: step(s, ck, ones_dev, nnew_dev, boxes, present))
+    dev_append = pipelined_staged(
+        lambda s, ck: (step.append(s, ck, ones_dev, nnew_dev),) * 2)
+    dev_read = pipelined_staged(
+        lambda s, _ck: step.read_scores(s, boxes, present))
+
+    # the tunnel's per-dispatch enqueue floor: even a scalar add cannot
+    # dispatch faster than this (colocated deployment would be ~0.1 ms)
+    triv = jax.jit(lambda x: x + 1.0)
+    y = jnp.float32(0.0)
+    _ = np.asarray(triv(y))
+    t0 = time.perf_counter()
+    for _ in range(50):
+        y = triv(y)
+    _ = np.asarray(y)
+    dispatch_floor = (time.perf_counter() - t0) / 50 * 1e3
+
+    # true single-dispatch DEVICE latency from the profiler (the number
+    # the tunnel cannot distort): one full frame step per dispatch
+    from ..utils.jaxtools import trace_device_ms
+    tcks = staged(11)
+    tstate = [st]
+
+    def one_step():
+        s2, logits = step(tstate[0], tcks.pop(0), ones_dev, nnew_dev,
+                          boxes, present)
+        tstate[0] = s2
+        _ = np.asarray(logits).ravel()[0]
+    for _ in range(3):
+        one_step()      # bring the candidate window to steady state
+    try:
+        dev_step_trace = trace_device_ms(one_step, iters=8)
+    except Exception:
+        dev_step_trace = None
 
     # scan-amortized rates: M frames per dispatch.  Honesty requires two
     # things an earlier version got wrong.  (1) M must be large enough
@@ -274,9 +319,21 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
         pcs = rel.at[:, :, 2].add(s.t_now.astype(rel.dtype) + 1)
         return step.many(s, pcs, pls, cnts, bxs, bps)
 
-    dev_append_scan = pipelined(
+    def pipelined_scan(fn, n=6):
+        """fn(state) -> (state, last); no per-call inputs (the scan
+        programs rebase their chunk timestamps in-program)."""
+        s2, last = fn(st)                 # compile + warm
+        _ = np.asarray(jax.tree.leaves(last)[0]).ravel()[0]
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s2, last = fn(s2)
+        _ = np.asarray(jax.tree.leaves(last)[0]).ravel()[0]
+        return (time.perf_counter() - t0) / n * 1e3
+
+    dev_append_scan = pipelined_scan(
         lambda s: (append_scan_fresh(s),) * 2, n=6) / m_scan
-    dev_step_scan = pipelined(lambda s: step_scan_fresh(s), n=6) / m_scan
+    dev_step_scan = pipelined_scan(lambda s: step_scan_fresh(s),
+                                   n=6) / m_scan
 
     return {
         "p50_ms": float(times[len(times) // 2] * 1e3),
@@ -285,6 +342,8 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
         "append_p50_ms": float(atimes[len(atimes) // 2] * 1e3),
         "refresh_ms": refresh_ms,
         "device_step_ms": dev_step,
+        "device_step_trace_ms": dev_step_trace,
+        "dispatch_floor_ms": dispatch_floor,
         "device_step_scan_ms": dev_step_scan,
         "device_append_ms": dev_append,
         "device_append_scan_ms": dev_append_scan,

@@ -97,3 +97,43 @@ def setup_debug_nans(enable: bool):
     (utils/train.py:118) — opt-in here because it inhibits fusion."""
     import jax
     jax.config.update("jax_debug_nans", bool(enable))
+
+
+def trace_device_ms(fn, iters: int = 10,
+                    trace_dir: str = "/tmp/ev_trace_devms"):
+    """True per-call DEVICE time of ``fn`` via the profiler: runs ``fn()``
+    ``iters`` times under ``jax.profiler.trace`` and sums per-op device
+    time from the xplane (hlo_stats), excluding control-flow ops whose
+    inclusive time would double-count their bodies.
+
+    This is the only per-dispatch latency number the axon tunnel cannot
+    distort: pipelined wall timing is floored by the tunnel's ~1.3-1.7 ms
+    host enqueue per dispatch (tools/probe_dispatch.py decomposition).
+    Returns milliseconds per call, or None when xprof is unavailable.
+    """
+    import glob
+    import json
+    import shutil
+
+    import jax
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            fn()
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except Exception:
+        return None
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        return None
+    data, _ = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    tbl = json.loads(data)
+    cols = [c["id"] for c in tbl["cols"]]
+    it, ic = cols.index("total_time"), cols.index("category")
+    total_us = sum(r["c"][it]["v"] for r in tbl["rows"]
+                   if r["c"][ic]["v"] not in ("while", "conditional"))
+    return total_us / iters / 1e3
