@@ -298,11 +298,19 @@ def make_incremental_step(params: ModelParams, mstate: ModelState,
         w0 = n_buf - (lookback + k)
         tail_pos = jax.lax.dynamic_slice(pos, (w0, 0), (lookback + k, 3))
         tail_valid = jax.lax.dynamic_slice(valid, (w0,), (lookback + k,))
+        # chunk=16: the tail search has only (lookback + n_chunk)/chunk
+        # destination chunks to spread over the Pallas kernel's 128 lanes —
+        # at the default chunk=128 that is ~12 active lanes (9% utilization)
+        # and every VPU op runs on [128, 128] tiles; 16 destinations per
+        # chunk fills 96 lanes at [16, 128] tiles, 8x less work per step.
+        # chunk is an implementation tile only: every destination's
+        # candidate reach is exactly ``lookback`` events regardless
+        # (consistency with the batch path is pinned by test_streaming).
         nbr_t, nbrm_t, doff_t = build_graph_auto(
             tail_pos[None], tail_valid[None], radius=radius_px,
             delta_t_us=delta_t_us, max_neighbors=max_nb,
             max_queue_size=max_q, lookback=lookback,
-            grid_wh=(width, height))
+            chunk=16, grid_wh=(width, height))
         nbr_t, nbrm_t, doff_t = nbr_t[0], nbrm_t[0], doff_t[0]
         nbr_c = nbr_t[-k:] + w0
         nbrm_c = nbrm_t[-k:]

@@ -79,3 +79,23 @@ def test_pallas_grid_too_tall_asserts():
     with pytest.raises(AssertionError, match="packed pixel key"):
         build_graph_pallas(pos, valid, radius=3, delta_t_us=1000,
                            grid_wh=(2048, 8192), interpret=True)
+
+
+def test_pallas_narrow_chunk16(rng):
+    """chunk=16 (the streaming append tile — fills the kernel's 128 lanes
+    when only ~1.5k tail destinations exist) must produce the identical
+    edge set: chunk is an implementation tile, candidate reach stays
+    ``lookback``."""
+    pos, valid = make_events(rng, 384, n_valid=360)
+    kw = dict(radius=3, delta_t_us=20_000, max_neighbors=8,
+              max_queue_size=16)
+    ref_nbr, ref_mask, ref_off = build_graph_numpy(pos, valid, **kw)
+    nbr, mask, off = build_graph_pallas(
+        jnp.asarray(pos)[None], jnp.asarray(valid)[None],
+        lookback=384, chunk=16, interpret=True, **kw)
+    nbr, mask, off = (np.asarray(nbr[0]), np.asarray(mask[0]),
+                      np.asarray(off[0]))
+    assert (mask == ref_mask).all()
+    assert (np.where(mask, nbr, 0) == np.where(ref_mask, ref_nbr, 0)).all()
+    assert (np.where(mask[..., None], off, 0)
+            == np.where(ref_mask[..., None], ref_off, 0)).all()
