@@ -52,6 +52,12 @@ def main():
     # "float32" as argv[2] for the strict-f32 number
     cfg = Config(batch_size=6, use_image=True, compute_dtype=dtype,
                  event_buckets=(n_events,))   # 1080/3 x 720/3 = 360x240
+    # NOTE: device-side init costs ~100 s of tiny RNG dispatches through
+    # the tunnel. A CPU-backend init + packed transfer was tried (round 4)
+    # and HANGS in-process under the axon plugin (and the shared compile
+    # cache serves foreign-host CPU AOT entries with mismatched machine
+    # features) — keep init on the default device.
+    _log("initializing model...")
     params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
     gsc = graph_static_config(cfg)
     batch = jax.tree.map(jnp.asarray,

@@ -137,3 +137,4 @@ def trace_device_ms(fn, iters: int = 10,
     total_us = sum(r["c"][it]["v"] for r in tbl["rows"]
                    if r["c"][ic]["v"] not in ("while", "conditional"))
     return total_us / iters / 1e3
+

@@ -55,3 +55,4 @@ def test_roofline_scales_with_batch_and_events():
     # only the event-scale stages grow with n_events
     assert r3["flops"] > r1["flops"]
     assert abs(r3["by_stage"]["cnn"][0] - r1["by_stage"]["cnn"][0]) < 1e-6
+
