@@ -52,13 +52,26 @@ def main():
     # "float32" as argv[2] for the strict-f32 number
     cfg = Config(batch_size=6, use_image=True, compute_dtype=dtype,
                  event_buckets=(n_events,))   # 1080/3 x 720/3 = 360x240
-    # NOTE: device-side init costs ~100 s of tiny RNG dispatches through
-    # the tunnel. A CPU-backend init + packed transfer was tried (round 4)
-    # and HANGS in-process under the axon plugin (and the shared compile
-    # cache serves foreign-host CPU AOT entries with mismatched machine
-    # features) — keep init on the default device.
-    _log("initializing model...")
-    params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
+    # Device init costs ~100 s of tiny RNG dispatches through the tunnel,
+    # but BOTH attempted shortcuts wedge under the axon plugin (round 4):
+    # an in-process CPU-backend init hangs outright, and the packed
+    # eval_shape+numpy init (jaxtools.packed_random_like — correct and
+    # CPU-tested) stalled on its unpack compile through the tunnel.  The
+    # driver path stays on the plain, proven init; set
+    # EVENTAD_BENCH_FAST_INIT=1 to opt into the packed path.
+    if os.environ.get("EVENTAD_BENCH_FAST_INIT") == "1":
+        from eventad_tpu.models.backbone import make_backbone_config
+        from eventad_tpu.models.eventad import EventADConfig
+        from eventad_tpu.utils.jaxtools import packed_random_like
+        _log("initializing model (packed fast init)...")
+        params, state = packed_random_like(
+            lambda: init_model(jax.random.PRNGKey(0), cfg)[:2])
+        bc = make_backbone_config(cfg)
+        mc = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                           max_boxes=cfg.max_boxes)
+    else:
+        _log("initializing model...")
+        params, state, bc, mc = init_model(jax.random.PRNGKey(0), cfg)
     gsc = graph_static_config(cfg)
     batch = jax.tree.map(jnp.asarray,
                          make_synthetic_batch(cfg, boxes_per_item=6))

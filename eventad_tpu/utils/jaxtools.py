@@ -138,3 +138,71 @@ def trace_device_ms(fn, iters: int = 10,
                    if r["c"][ic]["v"] not in ("while", "conditional"))
     return total_us / iters / 1e3
 
+
+
+def packed_random_like(fn, seed: int = 0):
+    """Benchmark-only fast init: shapes/dtypes via ``jax.eval_shape(fn)``
+    (pure host-side tracing, zero device dispatches), values from seeded
+    numpy, shipped to the default device as ONE packed transfer per dtype
+    plus one jitted unpack dispatch.
+
+    Why: on the axon tunnel, running an init function on-device is
+    hundreds of tiny RNG dispatches (~70 ms round-trip each — the full
+    model init measured 106 s), and per-leaf device_put of host arrays
+    pays the same round-trip per leaf.  Packed, the same bytes move in
+    ~6 s.  (An in-process CPU-backend init was tried first and HANGS
+    under the axon plugin — this path never touches a second backend.)
+
+    The values differ from the real ``init_*`` PRNG draws — fine for
+    throughput benchmarks (weights are random either way) but NOT for
+    numerical comparisons.  Fills are name-aware so eval-mode batch norm
+    stays well-scaled (var=1, mean=0, scale=1, offsets/biases=0,
+    everything else ~N(0, 0.05)): garbage-but-finite activations, no
+    inf/NaN blowups through 50 BN layers.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    shapes = jax.eval_shape(fn)
+    leaves_kp, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    rng = np.random.RandomState(seed)
+
+    def fill(path, sds):
+        name = ""
+        for k in reversed(path):
+            name = str(getattr(k, "key", getattr(k, "name", getattr(
+                k, "idx", ""))))
+            if name:
+                break
+        dt = np.dtype(sds.dtype)
+        if not np.issubdtype(dt, np.floating):
+            return np.zeros(sds.shape, dt)
+        if name in ("var", "scale"):
+            return np.ones(sds.shape, dt)
+        if name in ("mean", "offset") or name.endswith("bias") \
+                or name == "b":
+            return np.zeros(sds.shape, dt)
+        return (rng.randn(*sds.shape) * 0.05).astype(dt)
+
+    arrs = [fill(p, s) for p, s in leaves_kp]
+    groups = {}
+    for i, a in enumerate(arrs):
+        groups.setdefault(a.dtype.str, []).append(i)
+    dev_bufs = {k: jax.device_put(jnp.asarray(
+        np.concatenate([arrs[i].ravel() for i in idxs])))
+        for k, idxs in groups.items()}
+
+    def unpack(bufs):
+        outs = [None] * len(arrs)
+        for k, idxs in groups.items():
+            off = 0
+            for i in idxs:
+                n = int(np.prod(arrs[i].shape, dtype=np.int64))
+                outs[i] = jax.lax.dynamic_slice(
+                    bufs[k], (off,), (n,)).reshape(arrs[i].shape)
+                off += n
+        return outs
+
+    out_leaves = jax.jit(unpack)(dev_bufs)
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)

@@ -56,3 +56,44 @@ def test_roofline_scales_with_batch_and_events():
     assert r3["flops"] > r1["flops"]
     assert abs(r3["by_stage"]["cnn"][0] - r1["by_stage"]["cnn"][0]) < 1e-6
 
+
+
+def test_packed_random_like_matches_init_structure():
+    """The benchmark's fast init (eval_shape + packed numpy values) must
+    reproduce init_model's exact pytree structure/shapes/dtypes, keep BN
+    running stats well-scaled, and yield a finite forward."""
+    import jax
+    import jax.numpy as jnp
+    from eventad_tpu.data.synthetic import make_synthetic_batch
+    from eventad_tpu.models.dagr import (graph_static_config, init_model,
+                                         model_forward)
+    from eventad_tpu.models.backbone import make_backbone_config
+    from eventad_tpu.models.eventad import EventADConfig
+    from eventad_tpu.utils.jaxtools import packed_random_like
+
+    cfg = Config(batch_size=1, width=48, height=36, scale=1,
+                 use_image=True, event_buckets=(256,), graph_lookback=128)
+    real = init_model(jax.random.PRNGKey(0), cfg)[:2]
+    fast = packed_random_like(
+        lambda: init_model(jax.random.PRNGKey(0), cfg)[:2])
+    rl = jax.tree.leaves(real)
+    fl = jax.tree.leaves(fast)
+    assert len(rl) == len(fl)
+    for a, b in zip(rl, fl):
+        assert a.shape == b.shape and a.dtype == b.dtype, (a.shape, b.shape)
+    # every BN running-var leaf must be ones (eval BN stays well-scaled)
+    params, state = fast
+    import jax.tree_util as jtu
+    var_leaves = [l for p, l in jtu.tree_flatten_with_path(state)[0]
+                  if any(str(getattr(k, "key", "")) == "var" for k in p)]
+    assert var_leaves and all((np.asarray(v) == 1.0).all()
+                              for v in var_leaves)
+    # forward is finite
+    bc = make_backbone_config(cfg)
+    mc = EventADConfig(x_dim=cfg.x_dim, h_dim=cfg.h_dim,
+                       max_boxes=cfg.max_boxes)
+    gsc = graph_static_config(cfg)
+    batch = jax.tree.map(jnp.asarray, make_synthetic_batch(cfg))
+    out, _ = model_forward(params, state, batch, bc, mc, gsc,
+                           img_net=cfg.img_net, training=False)
+    assert np.isfinite(np.asarray(out.logits)).all()
