@@ -195,6 +195,7 @@ def main():
         return min(ts)
 
     scan_device_ms = None
+    scan_single_program = False
     try:
         n1, n2 = 10, 40
         if time.monotonic() - T_START < BUDGET_S:
@@ -214,14 +215,20 @@ def main():
                 # sync-vs-pipelined decomposition (coarser, but recorded)
                 rtt = max(per_batch_ms - dt_pipe / iters * 1e3, 0.0)
                 scan_device_ms = max(w1 * 1e3 - rtt, 0.0) / n1
-                result["scan_single_program"] = True
+                scan_single_program = True
                 _log("budget exceeded after scan1 — single-scan estimate")
         else:
             _log(f"budget {BUDGET_S:.0f}s exceeded — skipping scan metrics")
     except Exception as e:
         _log(f"scan metrics failed: {e}")
 
-    if scan_device_ms:
+    # "> 0" (not truthiness): a legitimately-computed 0.0 from the
+    # single-scan fallback means the RTT estimate swallowed the whole wall
+    # time — no usable device number, so no scan metrics (and no
+    # scan_single_program flag without the metrics it qualifies)
+    if scan_device_ms is not None and scan_device_ms > 0:
+        if scan_single_program:
+            result["scan_single_program"] = True
         result.update({
             # pure device throughput (scan-amortised, host enqueue
             # cancelled); the "pipelined" figures above are bounded by the
@@ -233,7 +240,8 @@ def main():
             "est_rtt_ms": round(max(per_batch_ms - scan_device_ms, 0.0), 2),
         })
         # roofline view over the scan-amortised per-batch device time
-        result.update(roofline_rates(roof, scan_device_ms / 1e3))
+        result.update(roofline_rates(roof, scan_device_ms / 1e3,
+                                     compute_dtype=dtype))
     print(json.dumps(result), flush=True)
 
 

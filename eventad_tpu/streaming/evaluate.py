@@ -8,6 +8,7 @@ the async runtime, SURVEY.md 4.1) plus dense-vs-sparse FLOPs.
 """
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -277,7 +278,8 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
     # true single-dispatch DEVICE latency from the profiler (the number
     # the tunnel cannot distort): one full frame step per dispatch
     from ..utils.jaxtools import trace_device_ms
-    tcks = staged(11)
+    trace_warm, trace_iters = 3, 8
+    tcks = staged(trace_warm + trace_iters)   # exactly one chunk per call
     tstate = [st]
 
     def one_step():
@@ -285,11 +287,13 @@ def latency_bench_incremental(params: ModelParams, state: ModelState, cfg,
                           boxes, present)
         tstate[0] = s2
         _ = np.asarray(logits).ravel()[0]
-    for _ in range(3):
+    for _ in range(trace_warm):
         one_step()      # bring the candidate window to steady state
     try:
-        dev_step_trace = trace_device_ms(one_step, iters=8)
-    except Exception:
+        dev_step_trace = trace_device_ms(one_step, iters=trace_iters)
+    except Exception as e:
+        print(f"streaming trace failed ({type(e).__name__}: {e}); "
+              "device_step_trace_ms will be null", file=sys.stderr)
         dev_step_trace = None
 
     # scan-amortized rates: M frames per dispatch.  Honesty requires two

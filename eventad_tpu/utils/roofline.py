@@ -30,6 +30,7 @@ import math
 from typing import Dict, List, Tuple
 
 V5E_PEAK_FLOPS = 197e12     # bf16 MXU
+V5E_PEAK_FLOPS_F32 = 98.5e12
 V5E_PEAK_HBM = 819e9        # bytes/s
 
 
@@ -203,10 +204,14 @@ def forward_roofline(cfg, n_events: int = None) -> dict:
     }
 
 
-def roofline_rates(roof: dict, device_seconds: float) -> dict:
+def roofline_rates(roof: dict, device_seconds: float,
+                   compute_dtype: str = "bfloat16") -> dict:
     """MFU / achieved-bandwidth view; flags (instead of silently printing)
-    any physically impossible rate."""
-    mfu = roof["flops"] / device_seconds / V5E_PEAK_FLOPS
+    any physically impossible rate.  The MFU denominator follows the run's
+    compute dtype (f32 runs divide by the f32 MXU peak, not the bf16 one)."""
+    peak = V5E_PEAK_FLOPS if compute_dtype == "bfloat16" \
+        else V5E_PEAK_FLOPS_F32
+    mfu = roof["flops"] / device_seconds / peak
     hbm = roof["bytes"] / device_seconds
     out = {
         "mfu": round(mfu, 5),

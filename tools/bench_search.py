@@ -61,9 +61,15 @@ def main():
             p, v, r, chunk=c, **kw)[1].sum())
         sync(red(pos, valid, ranks))
         from eventad_tpu.utils.jaxtools import trace_device_ms
-        dev = trace_device_ms(lambda: sync(red(pos, valid, ranks)), iters=6,
-                              trace_dir=f"/tmp/ev_trace_search{chunk}")
-        print(f"chunk={chunk:4d}: device {dev:7.3f} ms", flush=True)
+        try:
+            dev = trace_device_ms(lambda: sync(red(pos, valid, ranks)),
+                                  iters=6,
+                                  trace_dir=f"/tmp/ev_trace_search{chunk}")
+        except Exception as e:
+            print(f"chunk={chunk:4d}: trace failed ({e})", flush=True)
+            continue
+        dev_s = "    n/a" if dev is None else f"{dev:7.3f}"
+        print(f"chunk={chunk:4d}: device {dev_s} ms", flush=True)
 
 
 if __name__ == "__main__":
