@@ -129,6 +129,7 @@ class Config:
     max_queue_size: int = TPU_DEFAULTS["max_queue_size"]
     compute_dtype: str = TPU_DEFAULTS["compute_dtype"]
     mesh: str = TPU_DEFAULTS["mesh"]
+    search_chunk: int = TPU_DEFAULTS["search_chunk"]
     synthetic_data: bool = False   # run on generated fixture data
     # parity.py fixture mode: deterministic head fine-tune steps before the
     # golden eval, so scores discriminate at trained logit scale and all 5

@@ -96,4 +96,8 @@ TPU_DEFAULTS = dict(
     compute_dtype="float32",
     # mesh shape for data/model parallel training, e.g. "8" or "4x2"
     mesh="1",
+    # destination-chunk width of the Pallas neighbour-search kernel on the
+    # batch path (tools/bench_search.py sweep: 64 beats 128 by ~5% at the
+    # 6x16k operating point; streaming append uses its own chunk=16)
+    search_chunk=64,
 )

@@ -18,8 +18,12 @@ from typing import Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
+import ml_dtypes
+
 from ..config import Config
 from .dataset import Item
+
+_BF16 = ml_dtypes.bfloat16
 
 
 class EventBatch(NamedTuple):
@@ -44,6 +48,15 @@ class EventBatch(NamedTuple):
     # (data/pool_tables.py) — parameter-independent halves of the voxel
     # poolings, computed while the batch is assembled like `rank`
     pool_tables: np.ndarray = None
+    # host-staged kernel-native inputs (pure reformatting of fields above;
+    # the device programs fall back to deriving them when None):
+    # per-chunk temporal search bounds for the Pallas neighbour search at
+    # Config.search_chunk (ops/event_graph_pallas.chunk_starts_host)
+    search_starts: np.ndarray = None   # [B, ceil(N/chunk)] int32
+    # space-to-depth bf16 image for the CNN stem (resnet.s2d_format of the
+    # bf16-cast image — bit-identical input to the device-side formatting),
+    # shipped NCHW so the staged device array keeps a clean tiling
+    image_s2d: np.ndarray = None       # [B, 12, H/2, W/2] bfloat16
 
 
 @dataclasses.dataclass
@@ -82,7 +95,9 @@ def _batch_specs(cfg, n_cap: int, d: int = MAX_DETECTIONS):
         ("bbox0_mask", np.bool_, (b, d)),
         ("pool_tables", np.float32,
          (b, sum(nx * ny for nx, ny in cfg.grid_dims()), 4)),
-    ]
+        ("search_starts", np.int32, (b, -(-n_cap // cfg.search_chunk))),
+    ] + ([("image_s2d", _BF16, (b, 12, h // 2, w // 2))]
+         if h % 2 == 0 and w % 2 == 0 else [])
 
 
 def _slot_layout(cfg):
@@ -97,13 +112,16 @@ def _slot_layout(cfg):
     return layout, off
 
 
-def _slot_views(buf, layout, n_cap):
+def _slot_views(buf, layout, n_cap, search_chunk):
     """numpy views into a slot for the actual bucket size ``n_cap``."""
     views = {}
     for name, (off, dt, shape) in layout.items():
         a = np.ndarray(shape, dtype=dt, buffer=buf, offset=off)
         if name in ("pos", "polarity", "valid", "rank"):
             a = a[:, :n_cap]
+        elif name == "search_starts":
+            # chunk count follows the bucket; layout sized for the largest
+            a = a[:, :-(-n_cap // search_chunk)]
         views[name] = a
     return views
 
@@ -140,8 +158,11 @@ def _decode_worker(ds, cfg, shm_names, taskq, freeq, outq):
                 slot = freeq.get()
                 try:
                     views = _slot_views(shms[slot].buf, layout,
-                                        batch.pos.shape[1])
+                                        batch.pos.shape[1],
+                                        cfg.search_chunk)
                     for name, arr in batch._asdict().items():
+                        if arr is None:
+                            continue   # optional field absent (odd geometry)
                         np.copyto(views[name], arr)
                 except BaseException:
                     # never leak the slot: a copy failure would otherwise
@@ -178,6 +199,27 @@ def _slot_boxes(bbox: np.ndarray, max_boxes: int):
         present[tid] = True
         labels[tid] = int(row[4])
     return out, present, labels
+
+
+def staged_inputs(pos: np.ndarray, image: np.ndarray, cfg: Config):
+    """Host-staged kernel-native inputs (EventBatch.search_starts /
+    .image_s2d): pure reformatting of ``pos``/``image`` the device would
+    otherwise do per step (a searchsorted while-loop of ~15 index gathers;
+    the sub-lane-shaped cast+space-to-depth relayout of the image)."""
+    from ..ops.event_graph_pallas import chunk_starts_host, effective_chunk
+    n = pos.shape[1]
+    chunk = effective_chunk(cfg.search_chunk, n)
+    starts = chunk_starts_host(pos[:, :, 2], chunk, cfg.delta_t_us)
+    s2d = None
+    if image.shape[1] % 2 == 0 and image.shape[2] % 2 == 0:
+        from ..models.resnet import s2d_format
+        # shipped NCHW [B, 12, H/2, W/2]: bf16 arrays whose trailing dims
+        # are smaller than the (8, 128) tile get a transposed default
+        # device layout (the transfer itself relayouts) — with the spatial
+        # dims trailing, the staged array keeps a clean row-major tiling
+        s2d = np.ascontiguousarray(
+            s2d_format(image.astype(_BF16)).transpose(0, 3, 1, 2))
+    return starts, s2d
 
 
 def collate(items: List[Item], cfg: Config,
@@ -235,8 +277,10 @@ def collate(items: List[Item], cfg: Config,
     from .pool_tables import batch_pool_tables
     tables = batch_pool_tables(pos, valid, cfg.grid_dims(), w, h,
                                cfg.time_window_us)
+    starts, s2d = staged_inputs(pos, image, cfg)
     batch = EventBatch(pos, pol, valid, rank, image, boxes, present,
-                       labels, bbox, bbox_m, bbox0, bbox0_m, tables)
+                       labels, bbox, bbox_m, bbox0, bbox0_m, tables,
+                       starts, s2d)
     return batch, BatchMeta(seqs, fids, len(items[:bsz]), truncated)
 
 
@@ -441,7 +485,7 @@ class Loader:
                 pool["freeq"].put(slot)      # stale-epoch result: recycle
                 continue
             views = _slot_views(pool["shms"][slot].buf, pool["layout"],
-                                n_cap)
+                                n_cap, self.cfg.search_chunk)
             batch = EventBatch(**{k: np.array(v)
                                   for k, v in views.items()})
             pool["freeq"].put(slot)

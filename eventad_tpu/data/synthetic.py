@@ -54,5 +54,8 @@ def make_synthetic_batch(cfg: Config, seed: int = 0,
     from .pool_tables import batch_pool_tables
     tables = batch_pool_tables(pos, valid, cfg.grid_dims(), w, h,
                                cfg.time_window_us)
+    from .batching import staged_inputs
+    starts, s2d = staged_inputs(pos, image, cfg)
     return EventBatch(pos, pol, valid, rank, image, boxes, present,
-                      labels, bbox, bbox_m, bbox0, bbox0_m, tables)
+                      labels, bbox, bbox_m, bbox0, bbox0_m, tables,
+                      starts, s2d)

@@ -412,6 +412,10 @@ class BackboneConfig(NamedTuple):
     # kernel pays per map (1.76 + 1.59 ms) — a net loss at model level.
     # Kept as a validated component for per-map sampling call sites.
     bilinear_kernel: bool = False
+    # destination-chunk width of the Pallas neighbour-search kernel
+    # (Config.search_chunk; the host-staged per-chunk temporal bounds in
+    # EventBatch.search_starts are computed for this width)
+    search_chunk: int = 64
 
 
 def make_backbone_config(cfg: Config) -> BackboneConfig:
@@ -428,7 +432,8 @@ def make_backbone_config(cfg: Config) -> BackboneConfig:
         activation=cfg.activation, pooling_aggr=cfg.pooling_aggr,
         keep_temporal_ordering=cfg.keep_temporal_ordering,
         use_image=cfg.use_image, gather_lookback=cfg.graph_lookback,
-        radius_px=cfg.radius_px, compute_dtype=cfg.compute_dtype)
+        radius_px=cfg.radius_px, compute_dtype=cfg.compute_dtype,
+        search_chunk=cfg.search_chunk)
 
 
 def layer_in_out_channels(bc: BackboneConfig):

@@ -73,17 +73,25 @@ def build_level0_graph(pos: jnp.ndarray,       # [B, N, 3] int32
                        polarity: jnp.ndarray,  # [B, N] float
                        valid: jnp.ndarray,     # [B, N] bool
                        cfg_static,
-                       ranks: jnp.ndarray = None) -> Graph:
+                       ranks: jnp.ndarray = None,
+                       starts: jnp.ndarray = None,
+                       chunk: int = None) -> Graph:
     """cfg_static: (radius_px, delta_t_us, max_neighbors, max_queue_size,
-    lookback, width, height, time_window)."""
+    lookback, width, height, time_window).  ``starts``/``chunk``: optional
+    host-precomputed per-chunk temporal bounds + the matching destination
+    chunk width of the Pallas search kernel (Config.search_chunk)."""
     (radius_px, delta_t_us, max_nb, max_q, lookback, width, height,
      time_window) = cfg_static
     b, n, _ = pos.shape
     from ..ops.event_graph import build_graph_auto
+    kw = {}
+    if chunk is not None:
+        kw["chunk"] = chunk
     nbr, nbrm, doff = build_graph_auto(
         pos, valid, ranks, radius=radius_px, delta_t_us=delta_t_us,
         max_neighbors=max_nb, max_queue_size=max_q,
-        lookback=min(lookback, n), grid_wh=(width, height))
+        lookback=min(lookback, n), grid_wh=(width, height),
+        starts=starts, **kw)
     off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
     nbr_f = (nbr + off).reshape(b * n, -1)
     nbrm_f = nbrm.reshape(b * n, -1)
@@ -107,16 +115,23 @@ def dagr_extract_features(params: DAGRParams, state: DAGRState,
                           bc: BackboneConfig, gsc: tuple, *,
                           img_net: str = "resnet50",
                           training: bool = False, ranks=None,
-                          pool_tables=None):
+                          pool_tables=None, search_starts=None,
+                          image_s2d=None):
     """Frozen-DAGR feature path (reference dagr.py:108-130): returns
-    (out3, out4) graphs + new state. Gradients are stopped by the caller."""
-    g0 = build_level0_graph(pos, polarity, valid, gsc, ranks)
+    (out3, out4) graphs + new state. Gradients are stopped by the caller.
+
+    ``search_starts``/``image_s2d``: optional host-staged inputs (per-chunk
+    search bounds; space-to-depth bf16 image) — pure input reformatting the
+    batcher does once per batch instead of the device doing it per step."""
+    g0 = build_level0_graph(pos, polarity, valid, gsc, ranks,
+                            starts=search_starts, chunk=bc.search_chunk)
     image_feats = None
     ncs = state.cnn
     if bc.use_image:
         feats, _, ncs = cnn_branch_forward(params.cnn, state.cnn, image,
                                            img_net, training=False,
-                                           compute_dtype=bc.compute_dtype)
+                                           compute_dtype=bc.compute_dtype,
+                                           image_s2d=image_s2d)
         image_feats = feats
     outs, nbs = backbone_forward(params.backbone, state.backbone, g0,
                                  image_feats, bc, training=training,
@@ -144,7 +159,9 @@ def model_forward(params: ModelParams,
         params.dagr, state.dagr, batch.pos, batch.polarity, batch.valid,
         batch.image, bc, gsc, img_net=img_net, training=False,
         ranks=getattr(batch, "rank", None),
-        pool_tables=getattr(batch, "pool_tables", None))
+        pool_tables=getattr(batch, "pool_tables", None),
+        search_starts=getattr(batch, "search_starts", None),
+        image_s2d=getattr(batch, "image_s2d", None))
     out4 = outs[1]
     out4 = out4._replace(x=jax.lax.stop_gradient(out4.x))
 

@@ -356,8 +356,13 @@ def build_graph_numpy(pos: np.ndarray,
 
 def build_graph_auto(pos, valid, ranks=None, **kw):
     """Batched neighbour search dispatching to the Pallas kernel on TPU and
-    the XLA formulation elsewhere. ``pos [B, N, 3]``."""
+    the XLA formulation elsewhere. ``pos [B, N, 3]``.
+
+    ``starts`` (host-precomputed per-chunk temporal bounds) and ``chunk``
+    are Pallas-kernel knobs; the XLA formulation derives its own bounds."""
     if jax.default_backend() == "tpu":
         from .event_graph_pallas import build_graph_pallas
         return build_graph_pallas(pos, valid, ranks, **kw)
+    kw.pop("starts", None)
+    kw.pop("chunk", None)
     return build_graph(pos, valid, ranks, **kw)

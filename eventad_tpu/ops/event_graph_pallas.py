@@ -150,6 +150,34 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
     d_out_ref[...] = jnp.where(found, top, -1)
 
 
+def effective_chunk(chunk: int, n: int) -> int:
+    """The destination-chunk width :func:`build_graph_pallas` actually uses
+    for a requested ``chunk`` at stream length ``n`` (single source of truth
+    for host-side staging of the per-chunk bounds)."""
+    c = min(chunk, n)
+    return max(-(-c // 8) * 8, 8)
+
+
+def chunk_starts_host(t, chunk: int, delta_t_us: int):
+    """Host (numpy) replica of the kernel's per-chunk temporal loop bound:
+    for every destination chunk, the first stream index that can still
+    satisfy ``dt <= delta_t_us``.  ``t [B, N]`` must be the exact timestamp
+    array the device kernel will see (including any padding values) so the
+    binary search is bit-identical to the in-graph ``searchsorted``.
+    Shipping this with the batch removes ~15 per-step index gathers
+    (the searchsorted while-loop) from the device program."""
+    import numpy as np_
+    b, n = t.shape
+    n_chunks = -(-n // chunk)
+    tail = n_chunks * chunk - n
+    t_pad = np_.pad(np_.asarray(t), ((0, 0), (0, tail)),
+                    constant_values=2**30)
+    t_first = t_pad[:, ::chunk]
+    return np_.stack([
+        np_.searchsorted(t_pad[i], t_first[i] - delta_t_us, side="left")
+        for i in range(b)]).astype(np_.int32)        # [B, n_chunks]
+
+
 def build_graph_pallas(pos: jnp.ndarray,
                        valid: jnp.ndarray,
                        ranks: jnp.ndarray = None,
@@ -161,6 +189,7 @@ def build_graph_pallas(pos: jnp.ndarray,
                        lookback: int = 1024,
                        chunk: int = 128,
                        grid_wh: tuple = None,
+                       starts: jnp.ndarray = None,
                        interpret: bool = False):
     """Batched neighbour search: ``pos [B, N, 3]``, ``valid [B, N]``.
     Returns ``nbr [B, N, K]``, ``nbr_mask [B, N, K]`` (slot 0 = self).
@@ -173,8 +202,7 @@ def build_graph_pallas(pos: jnp.ndarray,
     b, n, _ = pos.shape
     k_other = max_neighbors - 1
     k_pad = -(-k_other // 8) * 8      # sublane-friendly top-K depth
-    chunk = min(chunk, n)
-    chunk = max(-(-chunk // 8) * 8, 8)
+    chunk = effective_chunk(chunk, n)
     # lookback rounded to a chunk multiple (window built from C-blocks) —
     # also satisfies the (8, 128) sublane tiling
     lookback = min(lookback, n)
@@ -241,12 +269,20 @@ def build_graph_pallas(pos: jnp.ndarray,
     # per binary-search step — measured 13 ms at 98k events): every
     # candidate of any destination in chunk c has
     # ``t_j >= t_first(c) - delta_t``, so the chunk's lookback is at most
-    # ``last_index(c) - searchsorted(t, t_first(c) - delta_t)``.
-    t_pad = jnp.pad(t, ((0, 0), (0, tail)), constant_values=2**30)
-    t_first = t_pad[:, ::chunk]                          # [B, n_chunks]
-    starts = jax.vmap(
-        lambda tb, q: jnp.searchsorted(tb, q, side="left")
-    )(t_pad, t_first - delta_t_us).astype(jnp.int32)     # [B, n_chunks]
+    # ``last_index(c) - searchsorted(t, t_first(c) - delta_t)``.  The batch
+    # pipeline precomputes ``starts`` on the host (chunk_starts_host, same
+    # binary search over the same array) — the in-graph searchsorted is the
+    # fallback for call sites without host data (streaming, seq-shard).
+    if starts is None:
+        t_pad = jnp.pad(t, ((0, 0), (0, tail)), constant_values=2**30)
+        t_first = t_pad[:, ::chunk]                      # [B, n_chunks]
+        starts = jax.vmap(
+            lambda tb, q: jnp.searchsorted(tb, q, side="left")
+        )(t_pad, t_first - delta_t_us).astype(jnp.int32)  # [B, n_chunks]
+    else:
+        starts = jnp.asarray(starts, jnp.int32)
+        assert starts.shape == (b, n_chunks), \
+            (starts.shape, (b, n_chunks))
     cid = jnp.arange(n_chunks, dtype=jnp.int32)
     lmax_chunk = jnp.clip((cid[None, :] + 1) * chunk - 1 - starts,
                           0, lookback)

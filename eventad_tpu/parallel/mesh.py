@@ -36,14 +36,35 @@ def make_mesh(spec: str = "1", devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+# batch fields whose item axis is NOT the leading one (none at present —
+# EventBatch.image_s2d ships NCHW with batch leading; the hook remains for
+# any future staged field with a non-leading item axis)
+_FIELD_SPECS: dict = {}
+
+
+def _field_pspec(batch, default):
+    """Per-field PartitionSpec tree for an EventBatch-like NamedTuple (None
+    fields keep None so the tree structures match); plain trees fall back to
+    a uniform leading-axis spec."""
+    if hasattr(batch, "_fields"):
+        return type(batch)(**{
+            k: (None if v is None
+                else jax.tree.map(
+                    lambda _, s=_FIELD_SPECS.get(k, default): s, v))
+            for k, v in batch._asdict().items()})
+    return jax.tree.map(lambda _: default, batch)
+
+
 def batch_pspec(batch) -> "jax.tree_util.PyTreeDef":
-    """PartitionSpec tree: leading axis of every batch array on 'data'."""
-    return jax.tree.map(lambda _: P("data"), batch)
+    """PartitionSpec tree: item axis of every batch array on 'data'."""
+    return _field_pspec(batch, P("data"))
 
 
 def shard_batch(batch, mesh: Mesh):
+    specs = batch_pspec(batch)
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        batch, specs)
 
 
 def replicated(mesh: Mesh):

@@ -36,16 +36,25 @@ MAPS = [(60, 90, 64), (120, 180, 16)]   # (h', w', c) of image_feats[0..1]
 DT = jnp.bfloat16
 
 
-def bench(fn, *args, iters=30):
+def bench(fn, *args, iters=30, tag="v"):
     f = jax.jit(fn)
     out = f(*args)
     np.asarray(out).ravel()[0]
     for _ in range(3):
         np.asarray(f(*args)).ravel()[0]
+    # wall (tunnel-floored, pipelined) AND trace-based device time
     t0 = time.perf_counter()
     outs = [f(*args) for _ in range(iters)]
     np.asarray(outs[-1]).ravel()[0]
-    return (time.perf_counter() - t0) / iters * 1e3
+    wall = (time.perf_counter() - t0) / iters * 1e3
+    from eventad_tpu.utils.jaxtools import trace_device_ms
+    try:
+        dev = trace_device_ms(lambda: np.asarray(f(*args)).ravel()[0],
+                              iters=8, trace_dir=f"/tmp/ev_trace_up_{tag}")
+    except Exception as e:
+        print(f"    trace failed: {e}")
+        dev = None
+    return wall, dev
 
 
 def main():
@@ -84,11 +93,99 @@ def main():
         rows = up01[yi, xi, batch]
         return jnp.sum(rows.astype(jnp.float32))
 
+    # flat8: pad batch to a sublane multiple (8) at the COARSE maps, keep
+    # the dot-natural [H, W, Bp, c] output, and view it as a flat
+    # [H*W*Bp, c] row table — with Bp a multiple of 8 the reshape is a
+    # pure bitcast (identical (8,128) tiling), and the gather becomes a
+    # flat 1-D row gather, which the round-2 measurements put at ~3.6
+    # ns/row vs ~12.5 for the 3-index 4-D form (CLAUDE.md).
+    BP = 8
+
+    def chain_flat8(f0, f1):
+        ups = []
+        for f in (f0, f1):
+            fp = jnp.pad(f, ((0, BP - B), (0, 0), (0, 0), (0, 0)))
+            ups.append(up_natural(fp))                  # [H, W, BP, c]
+        up01 = jnp.concatenate(ups, axis=-1)
+        flat = up01.reshape(H * W * BP, up01.shape[-1])
+        rows = flat[(yi * W + xi) * BP + batch]
+        return jnp.sum(rows.astype(jnp.float32))
+
+    def up_natural_w(f):
+        h, w = f.shape[1:3]
+        ay, ax = mats[(h, w)]
+        # H contraction first: [Hfull, b, w, c]; then W: [Wfull, Hfull, b, c]
+        uh = jax.lax.dot_general(ay, f, (((1,), (1,)), ((), ())))
+        return jax.lax.dot_general(ax, uh, (((1,), (2,)), ((), ())))
+
+    def chain_flat8_wmajor(f0, f1):
+        ups = []
+        for f in (f0, f1):
+            fp = jnp.pad(f, ((0, BP - B), (0, 0), (0, 0), (0, 0)))
+            ups.append(up_natural_w(fp))                # [W, H, BP, c]
+        up01 = jnp.concatenate(ups, axis=-1)
+        flat = up01.reshape(H * W * BP, up01.shape[-1])
+        rows = flat[(xi * H + yi) * BP + batch]
+        return jnp.sum(rows.astype(jnp.float32))
+
+    # flat8-batched: make the LAST contraction a matmul whose N dims are
+    # (b, c) — batched over the already-upsampled W axis — so the natural
+    # output minor dims are the (8, 128) tile the flat row-gather wants
+    # and no relayout copy can appear between the dot and the gather.
+    def chain_flat8_bdot(f0, f1):
+        ups = []
+        for f in (f0, f1):
+            h, w, c = f.shape[1:4]
+            ay, ax = mats[(h, w)]
+            fp = jnp.pad(f, ((0, BP - B), (0, 0), (0, 0), (0, 0)))
+            fp = fp.transpose(1, 2, 0, 3)               # [hp, wp, 8, c]
+            # W contraction: [Wf, hp, 8, c]
+            uw = jax.lax.dot_general(ax, fp, (((1,), (1,)), ((), ())))
+            # H contraction BATCHED over Wf: lhs ay broadcast [Wf, Hf, hp];
+            # per-Wf matmul [Hf, hp] @ [hp, 8*c] -> [Wf, Hf, 8, c] with
+            # (8, c) as the output tile dims
+            ayb = jnp.broadcast_to(ay[None], (W,) + ay.shape)
+            up = jax.lax.dot_general(ayb, uw,
+                                     (((2,), (1,)), ((0,), (0,))))
+            ups.append(up)                              # [Wf, Hf, 8, c]
+        up01 = jnp.concatenate(ups, axis=-1)
+        flat = up01.reshape(W * H * BP, up01.shape[-1])
+        rows = flat[(xi * H + yi) * BP + batch]
+        return jnp.sum(rows.astype(jnp.float32))
+
+    def chain_flat8_bdot_h(f0, f1):
+        ups = []
+        for f in (f0, f1):
+            h, w, c = f.shape[1:4]
+            ay, ax = mats[(h, w)]
+            fp = jnp.pad(f, ((0, BP - B), (0, 0), (0, 0), (0, 0)))
+            fp = fp.transpose(2, 1, 0, 3)               # [wp, hp, 8, c]
+            # H contraction: [Hf, wp, 8, c]
+            uh = jax.lax.dot_general(ay, fp, (((1,), (1,)), ((), ())))
+            # W contraction batched over Hf -> [Hf, Wf, 8, c]
+            axb = jnp.broadcast_to(ax[None], (H,) + ax.shape)
+            up = jax.lax.dot_general(axb, uh,
+                                     (((2,), (1,)), ((0,), (0,))))
+            ups.append(up)                              # [Hf, Wf, 8, c]
+        up01 = jnp.concatenate(ups, axis=-1)
+        flat = up01.reshape(H * W * BP, up01.shape[-1])
+        rows = flat[(yi * W + xi) * BP + batch]
+        return jnp.sum(rows.astype(jnp.float32))
+
     for name, fn in [("current (einsum bhWc + gather[b,y,x])", chain_current),
                      ("dot-natural ([H,W,b,c] + gather[y,x,b])",
-                      chain_natural)]:
-        t = bench(fn, *feats)
-        print(f"{name:45s} {t:7.3f} ms")
+                      chain_natural),
+                     ("flat8 ([H,W,8,c] bitcast + 1-D row gather)",
+                      chain_flat8),
+                     ("flat8 w-major ([W,H,8,c] + 1-D row gather)",
+                      chain_flat8_wmajor),
+                     ("flat8-bdot ([W,H,8,c] batched H-dot)",
+                      chain_flat8_bdot),
+                     ("flat8-bdot-h ([H,W,8,c] batched W-dot)",
+                      chain_flat8_bdot_h)]:
+        wall, dev = bench(fn, *feats, tag=name.split()[0])
+        dev_s = "  n/a" if dev is None else f"{dev:7.3f}"
+        print(f"{name:45s} wall {wall:7.3f}  device {dev_s} ms")
         v = jax.jit(fn)(*feats)
         print(f"    checksum {float(np.asarray(v)):.3f}")
 
