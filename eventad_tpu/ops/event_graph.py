@@ -115,10 +115,15 @@ def spiral_offset(s: jnp.ndarray):
     r = jnp.where((2 * r + 1) ** 2 <= s, r + 1, r)
     p = s - (2 * r - 1) ** 2
     leg = jnp.clip(p // jnp.maximum(2 * r, 1), 0, 3)
-    dx = jnp.select([leg == 0, leg == 1, leg == 2],
-                    [r, 3 * r - 1 - p, -r], p - 7 * r + 1)
-    dy = jnp.select([leg == 0, leg == 1, leg == 2],
-                    [p - r + 1, r, 5 * r - 1 - p], -r)
+    # nested where (not jnp.select): select lowers through argmax, which
+    # Mosaic cannot vectorize — this form runs inside the Pallas search
+    # kernel's decode epilogue
+    dx = jnp.where(leg == 0, r,
+                   jnp.where(leg == 1, 3 * r - 1 - p,
+                             jnp.where(leg == 2, -r, p - 7 * r + 1)))
+    dy = jnp.where(leg == 0, p - r + 1,
+                   jnp.where(leg == 1, r,
+                             jnp.where(leg == 2, 5 * r - 1 - p, -r)))
     zero = s <= 0
     return jnp.where(zero, 0, dx), jnp.where(zero, 0, dy)
 

@@ -146,7 +146,10 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
     # output the FULL packed value (-1 = no neighbour): the caller decodes
     # both the stream offset (top % 2L) and the spiral index
     # (top // (2L*Q)), from which the edge's pixel offset is recovered
-    # arithmetically (spiral_offset) — no position gather downstream
+    # arithmetically (spiral_offset) — no position gather downstream.
+    # (Decoding in the kernel epilogue was tried and measured a wash: the
+    # kernel grew by exactly what the XLA decode fusions cost, ~0.15 ms —
+    # the decode is element-bound either way.)
     d_out_ref[...] = jnp.where(found, top, -1)
 
 

@@ -1,4 +1,4 @@
-from .mesh import make_mesh, shard_batch  # noqa: F401
+from .mesh import make_mesh, replicated, shard_batch  # noqa: F401
 from .sharding import (param_shardings, shard_params,  # noqa: F401
                        sharded_init)
 from .train_step import (PlateauState, TrainStepFns, make_optimizer,  # noqa

@@ -51,6 +51,22 @@ def main(argv=None):
     test_loader = Loader(test_ds, cfg, shuffle=False)
     print(f"test items: {len(test_ds)}")
 
+    # data-parallel evaluation (reference protocol utils/test.py:9-180 is
+    # single-GPU; here --mesh N shards the metrics-producing eval batches
+    # over the 'data' axis — metrics stay host-side, jit inserts the
+    # collectives)
+    mesh = None
+    if cfg.mesh not in ("", "1"):
+        from eventad_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.mesh)
+        d = mesh.shape["data"]
+        if cfg.batch_size % d:
+            print(f"warning: batch_size {cfg.batch_size} not divisible by "
+                  f"data-mesh size {d}; running single-device")
+            mesh = None
+        else:
+            print(f"eval mesh: {dict(mesh.shape)}")
+
     params, state, bc, mc = init_model(jax.random.PRNGKey(cfg.seed), cfg)
     gsc = graph_static_config(cfg)
     optimizer = make_optimizer(cfg.learning_rate, cfg.weight_decay,
@@ -71,9 +87,21 @@ def main(argv=None):
 
     result_file = setup_result_file(result_dir, cfg, checkpoint_info)
 
+    if mesh is not None:
+        from eventad_tpu.parallel import replicated
+        params = jax.device_put(params, replicated(mesh))
+        state = jax.device_put(state, replicated(mesh))
+
+    def to_device(batch):
+        batch = jax.tree.map(np.asarray, batch)
+        if mesh is not None:
+            from eventad_tpu.parallel import shard_batch
+            return shard_batch(batch, mesh)
+        return batch
+
     def forward(batch):
         logits, valid, labels, _loss, _nv = fns.eval_step(
-            params, state, jax.tree.map(np.asarray, batch))
+            params, state, to_device(batch))
         return np.asarray(logits), np.asarray(valid), np.asarray(labels)
 
     results = collect_predictions(
@@ -88,8 +116,7 @@ def main(argv=None):
     fps_results = None
     if cfg.measure_fps:
         def fwd_bench(batch):
-            return fns.eval_step(params, state,
-                                 jax.tree.map(np.asarray, batch))
+            return fns.eval_step(params, state, to_device(batch))
         fps_results = measure_fps(fwd_bench, test_loader,
                                   warmup_batches=cfg.fps_warmup_batches,
                                   num_batches=cfg.fps_num_batches)
