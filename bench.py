@@ -244,6 +244,46 @@ def main():
                                      compute_dtype=dtype))
     print(json.dumps(result), flush=True)
 
+    # ---- training throughput (budget-gated): the anomaly-head training
+    # regime the reference runs (frozen DAGR, recurrent head trained;
+    # EventAD.py:149-150) at the same operating point.  One driver-captured
+    # number so the training claim has the same evidentiary status as the
+    # inference one — the final JSON line stays a superset of the earlier
+    # ones. ----
+    try:
+        if time.monotonic() - T_START < BUDGET_S:
+            from eventad_tpu.parallel import make_optimizer, make_train_fns
+            _log("compiling train step...")
+            optimizer = make_optimizer(cfg.learning_rate, cfg.weight_decay,
+                                       cfg.grad_clip)
+            opt_state = optimizer.init(params.head)
+            fns = make_train_fns(cfg, bc, mc, gsc, optimizer)
+            rng = jax.random.PRNGKey(0)
+            p, s, o = params, state, opt_state
+            p, s, o, m = fns.train_step(p, s, o, batch, rng)
+            sync(m["loss"])
+            _log("train step compiled")
+            warm, titers = 2, 10
+            for _ in range(warm):
+                p, s, o, m = fns.train_step(p, s, o, batch, rng)
+            sync(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(titers):
+                p, s, o, m = fns.train_step(p, s, o, batch, rng)
+            sync(m["loss"])
+            dt_tr = time.perf_counter() - t0
+            result.update({
+                "train_items_per_sec": round(
+                    cfg.batch_size * titers / dt_tr, 2),
+                "train_ms_per_batch": round(dt_tr / titers * 1e3, 2),
+                "train_compute_dtype": dtype,
+            })
+            print(json.dumps(result), flush=True)
+        else:
+            _log(f"budget {BUDGET_S:.0f}s exceeded — skipping train metric")
+    except Exception as e:
+        _log(f"train metric failed: {e}")
+
 
 if __name__ == "__main__":
     main()
