@@ -26,7 +26,8 @@ def calculate_bbox_metrics(labels, scores):
     labels = np.asarray(labels)
     scores = np.asarray(scores, dtype=np.float64)
     if len(labels) == 0 or len(scores) == 0:
-        return {"auc": np.nan, "ap": np.nan}
+        return {"auc": np.nan, "ap": np.nan, "auc_unadjusted": np.nan}
+    raw_scores = np.copy(scores)
     scores = np.copy(scores)
     anomaly_indices = np.where(labels > 0.5)[0]
     if len(anomaly_indices):
@@ -37,6 +38,13 @@ def calculate_bbox_metrics(labels, scores):
     metrics["ap"] = average_precision_score(labels, scores) - 0.1
     fpr, tpr, _ = roc_curve(labels, scores)
     metrics["auc"] = auc(fpr, tpr)
+    # unadjusted AUC (no median-scaling quirk): the adjustment crushes
+    # ranking signal on well-separated scores (reference evaluation.py:26-38
+    # halves every above-median anomaly score), so this extra key is the one
+    # that can SEE a ranking regression; reported alongside, never
+    # replacing, the reference-faithful adjusted value
+    fpr_u, tpr_u, _ = roc_curve(labels, raw_scores)
+    metrics["auc_unadjusted"] = auc(fpr_u, tpr_u)
     return metrics
 
 

@@ -209,6 +209,10 @@ def main(argv=None):
 
     measured = {
         "AUC": bbox_metrics.get("auc"),
+        # ranking guard: the adjusted AUC sits at the median-scaling
+        # quirk's blind spot (it crushes well-separated scores toward 0.5),
+        # so the unadjusted value is pinned alongside it
+        "AUC_unadjusted": bbox_metrics.get("auc_unadjusted"),
         "AP": bbox_metrics.get("ap"),
         "AUC-Frame": frame_metrics.get("auc_frame"),
         "mTTA": tta_metrics.get("mtta"),
