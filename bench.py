@@ -21,7 +21,11 @@ import sys
 import time
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("EVENTAD_BENCH_BUDGET_S", "300"))
+# 420 s: a slow-tunnel day costs ~430 s of preamble alone (measured
+# 2026-08-20) — 300 made such a run skip the scan/train metrics while the
+# incremental-flush design would have kept them safe against a driver
+# timeout anyway (every print is a superset of the previous one)
+BUDGET_S = float(os.environ.get("EVENTAD_BENCH_BUDGET_S", "420"))
 
 from eventad_tpu.utils.jaxtools import setup_compilation_cache, wait_for_tpu
 wait_for_tpu()   # bounded wait if the axon tunnel is down (vs hanging)

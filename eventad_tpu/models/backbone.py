@@ -517,10 +517,22 @@ def backbone_forward(params: BackboneParams,
                     image_feats[i].astype(dt), g0.pos, g0.node_mask,
                     full_width=bc.width, full_height=bc.height,
                     batch_size=bc.batch_size) for i in (0, 1)], axis=1)
+        elif (dt == jnp.bfloat16 and not training
+              and jax.default_backend() == "tpu" and bc.height % 24 == 0):
+            # Pallas flat-layout upsample writer + flat 1-D row gather
+            # (ops/upsample_flat.py): the flat table layout cannot be
+            # produced copy-free by any XLA dot spelling, and the flat
+            # gather runs ~9 ns/row vs ~12.6 for the 3-index 4-D form —
+            # chain measured 1.34 vs 1.69 ms (tools/bench_upflat.py)
+            from ..ops.upsample_flat import upsample_flat_lookup
+            rows01 = upsample_flat_lookup(
+                [image_feats[0], image_feats[1]],
+                g0.pos, g0.batch, g0.node_mask, bc.width, bc.height)
         else:
             rows01 = upsample_lookup(
                 [image_feats[0].astype(dt), image_feats[1].astype(dt)],
-                g0.pos, g0.batch, g0.node_mask, bc.width, bc.height)
+                g0.pos, g0.batch, g0.node_mask, bc.width, bc.height,
+                mask_rows=False)
 
     def cat_image(g, level):
         if not bc.use_image:

@@ -102,7 +102,7 @@ def upsample_align_corners(feat: jnp.ndarray, full_width: int,
 
 def upsample_lookup(feats, pos: jnp.ndarray, batch: jnp.ndarray,
                     node_mask: jnp.ndarray, full_width: int,
-                    full_height: int) -> jnp.ndarray:
+                    full_height: int, mask_rows: bool = True) -> jnp.ndarray:
     """Fused upsample-to-full-resolution + per-node row lookup over one or
     more NHWC maps (channel-concatenated output) — the level-0/1 image
     feature fetch.
@@ -134,6 +134,13 @@ def upsample_lookup(feats, pos: jnp.ndarray, batch: jnp.ndarray,
     # already what the row gather wants; a flat [H*W*b, C] view would
     # re-pad the (b, c) tile (0.75 ms relayout pair, trace-measured)
     rows = up[yi, xi, batch]
+    if not mask_rows:
+        # a masked event's row is a finite map value at its (clipped)
+        # pixel; every downstream consumer re-masks (nbr_mask gates edge
+        # aggregation, apply_layer/pool_graph/batch_norm mask by
+        # node_mask), so the [N, C]-wide select is provably droppable —
+        # the backbone path skips it (~0.06 ms/batch at 98k x 80)
+        return rows
     return jnp.where(node_mask[:, None], rows, 0)
 
 
