@@ -21,11 +21,15 @@ import sys
 import time
 
 T_START = time.monotonic()
-# 420 s: a slow-tunnel day costs ~430 s of preamble alone (measured
-# 2026-08-20) — 300 made such a run skip the scan/train metrics while the
-# incremental-flush design would have kept them safe against a driver
-# timeout anyway (every print is a superset of the previous one)
-BUDGET_S = float(os.environ.get("EVENTAD_BENCH_BUDGET_S", "420"))
+# Hard total guard (headline-inclusive).  The tunnel preamble alone has
+# been measured anywhere from 80 to 780 s between runs (same code, same
+# cache) — so the scan/train extras are gated on time SINCE THE HEADLINE
+# FLUSHED (EVENTAD_BENCH_EXTRA_S), not on process age: a slow-tunnel day
+# should not silently drop the device-true metrics, and every print is a
+# superset of the previous one, so even a driver timeout mid-extras keeps
+# everything already measured.
+BUDGET_S = float(os.environ.get("EVENTAD_BENCH_BUDGET_S", "1800"))
+EXTRA_S = float(os.environ.get("EVENTAD_BENCH_EXTRA_S", "300"))
 
 from eventad_tpu.utils.jaxtools import setup_compilation_cache, wait_for_tpu
 wait_for_tpu()   # bounded wait if the axon tunnel is down (vs hanging)
@@ -145,6 +149,12 @@ def main():
     }
     # FIRST parseable record: a later timeout/crash cannot erase this
     print(json.dumps(result), flush=True)
+    t_headline = time.monotonic()
+
+    def within_budget():
+        return (time.monotonic() - t_headline < EXTRA_S
+                and time.monotonic() - T_START < BUDGET_S)
+
     _log("headline printed; computing roofline + scan metrics")
 
     # ---- analytic roofline (model flops, minimum HBM bytes) -------------
@@ -190,7 +200,7 @@ def main():
             return c
         return fwd_scan
 
-    def best_wall(f, reps=3):
+    def best_wall(f, reps=4):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -201,14 +211,17 @@ def main():
     scan_device_ms = None
     scan_single_program = False
     try:
-        n1, n2 = 10, 40
-        if time.monotonic() - T_START < BUDGET_S:
+        # 10/50 with best-of-4: the host round-trip cancels in the delta,
+        # but the tunnel's per-call jitter (+-40% on a bad day) doesn't —
+        # a longer second scan and one more rep shrink the delta's noise
+        n1, n2 = 10, 50
+        if within_budget():
             scan1 = make_scan(n1)
             _log("compiling scan program (length %d)..." % n1)
             sync(scan1(params, state, batch))
             _log("scan1 compiled")
             w1 = best_wall(scan1)
-            if time.monotonic() - T_START < BUDGET_S:
+            if within_budget():
                 scan2 = make_scan(n2)
                 _log("compiling scan program (length %d)..." % n2)
                 sync(scan2(params, state, batch))
@@ -222,7 +235,8 @@ def main():
                 scan_single_program = True
                 _log("budget exceeded after scan1 — single-scan estimate")
         else:
-            _log(f"budget {BUDGET_S:.0f}s exceeded — skipping scan metrics")
+            _log(f"extras budget {EXTRA_S:.0f}s exceeded — "
+                 f"skipping scan metrics")
     except Exception as e:
         _log(f"scan metrics failed: {e}")
 
@@ -248,6 +262,21 @@ def main():
                                      compute_dtype=dtype))
     print(json.dumps(result), flush=True)
 
+    # ---- profiler-based device time (budget-gated): the xprof hlo_stats
+    # total is bit-stable across processes and immune to tunnel jitter —
+    # the cross-run-comparable device number (the scan delta above can
+    # wobble +-0.3 ms on a bad tunnel day) ----
+    try:
+        if within_budget():
+            from eventad_tpu.utils.jaxtools import trace_device_ms
+            dev = trace_device_ms(lambda: sync(fwd(params, state, batch)),
+                                  iters=6, trace_dir="/tmp/ev_trace_bench")
+            if dev:
+                result["trace_device_ms_per_batch"] = round(dev, 2)
+                print(json.dumps(result), flush=True)
+    except Exception as e:
+        _log(f"trace metric failed: {e}")
+
     # ---- training throughput (budget-gated): the anomaly-head training
     # regime the reference runs (frozen DAGR, recurrent head trained;
     # EventAD.py:149-150) at the same operating point.  One driver-captured
@@ -255,7 +284,7 @@ def main():
     # inference one — the final JSON line stays a superset of the earlier
     # ones. ----
     try:
-        if time.monotonic() - T_START < BUDGET_S:
+        if within_budget():
             from eventad_tpu.parallel import make_optimizer, make_train_fns
             _log("compiling train step...")
             optimizer = make_optimizer(cfg.learning_rate, cfg.weight_decay,
@@ -284,7 +313,8 @@ def main():
             })
             print(json.dumps(result), flush=True)
         else:
-            _log(f"budget {BUDGET_S:.0f}s exceeded — skipping train metric")
+            _log(f"extras budget {EXTRA_S:.0f}s exceeded — "
+                 f"skipping train metric")
     except Exception as e:
         _log(f"train metric failed: {e}")
 

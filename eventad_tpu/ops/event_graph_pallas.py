@@ -32,15 +32,30 @@ from .event_graph import queue_rank, spiral_offset
 _INVALID = np.int32(2**31 - 1)
 _LANES = 128
 
-# Batcher odd-even mergesort network for 8 elements (19 comparators):
-# sort each half [(0..3), (4..7)] then odd-even merge. Verified against
-# the 0-1 principle in tests/test_event_graph_pallas.py.
-_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
-          (0, 2), (1, 3), (4, 6), (5, 7),
-          (1, 2), (5, 6),
-          (0, 4), (1, 5), (2, 6), (3, 7),
-          (2, 4), (3, 5),
-          (1, 2), (3, 4), (5, 6)]
+def _batcher_network(n: int):
+    """Comparator pairs of Batcher's odd-even mergesort for ``n`` a power
+    of two (19 comparators at n=8, 63 at n=16).  Verified against the 0-1
+    principle in tests/test_event_graph_pallas.py."""
+    pairs = []
+
+    def merge(lo, m, r):
+        step = r * 2
+        if step < m:
+            merge(lo, m, step)
+            merge(lo + r, m, step)
+            pairs.extend((i, i + r) for i in range(lo + r, lo + m - r, step))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo, m):
+        if m > 1:
+            half = m // 2
+            sort(lo, half)
+            sort(lo + half, half)
+            merge(lo, m, 1)
+
+    sort(0, n)
+    return pairs
 
 
 def _select_kernel(lmax_ref, pr_ref, t_ref,
@@ -71,9 +86,16 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
     d_span = np.int32(2 * lookback)
     packed_invalid = np.int32((2**30) // d_span * d_span)
 
-    d_block = 8    # offsets per iteration; keeps slab starts 8-aligned
+    # offsets per iteration: 16 when the top-K depth and lookback allow it
+    # (fewer slab loads and a cheaper sort: Batcher-16 is 63 comparators =
+    # 3.9/candidate vs 19/8 = 2.4 BUT the per-candidate merge+sweep cost
+    # halves — net ~9 vs ~11 VPU ops per candidate); 8 otherwise.  Slab
+    # starts stay 8-aligned either way.
+    d_block = 16 if (k_pad % 16 == 0 and lookback % 16 == 0
+                     and lookback >= 16) else 8
 
     bitonic = (k_pad & (k_pad - 1)) == 0 and d_block <= k_pad
+    sort_net = _batcher_network(d_block) if bitonic else None
 
     def _step(m, top):
         d0 = 1 + d_block * m
@@ -106,12 +128,12 @@ def _select_kernel(lmax_ref, pr_ref, t_ref,
         rows = [top[i] for i in range(k_pad)]
         if bitonic:
             # merge all d_block candidates at once: sort them descending
-            # (19-comparator Batcher network), take the elementwise min
-            # against the sorted-ascending tail — the low half of the
-            # bitonic concat [rows asc | +inf.. cand desc] — then restore
-            # sorted order with one bitonic sweep. ~14 VPU ops per
-            # candidate vs ~31 for per-candidate bubble insertion.
-            for i, j in _SORT8:
+            # (Batcher network), take the elementwise min against the
+            # sorted-ascending tail — the low half of the bitonic concat
+            # [rows asc | +inf.. cand desc] — then restore sorted order
+            # with one bitonic sweep. ~9-14 VPU ops per candidate vs ~31
+            # for per-candidate bubble insertion.
+            for i, j in sort_net:
                 a, b = cand[i], cand[j]
                 cand[i] = jnp.maximum(a, b)
                 cand[j] = jnp.minimum(a, b)
