@@ -59,8 +59,8 @@ def _pad8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-def _fused_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm, wT_ref,
-                  out_ref, win, sem, xjT, *, t, k, ks, c8,
+def _fused_kernel(nsub_ref, kmax_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm,
+                  wT_ref, out_ref, win, sem, xjT, *, t, k, ks, c8,
                   nxs, nys, mx0, my0, w_total):
     """Per destination block of ``t`` lanes:
 
@@ -74,6 +74,7 @@ def _fused_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm, wT_ref,
     """
     i = pl.program_id(0)
     n_sub = nsub_ref[i]
+    km = kmax_ref[i]        # slots >= km have no edge in this block
     base_chunk = i * (t // _SUB)
     m_sub = nxs * nys
 
@@ -99,11 +100,12 @@ def _fused_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm, wT_ref,
         dma(slot, s).wait()
         w0 = w_total - (s + 1) * _SUB
         win_b = win[slot]                            # [C8, SUB] bf16
-        # one-hot for ALL slots in one compare+cast over [K, SUB, t]
-        oh3 = (rel3 == w_iota + w0).astype(jnp.bfloat16)
         for kk in range(k):
-            xjT[kk] += jnp.dot(win_b, oh3[kk],
-                               preferred_element_type=jnp.float32)
+            @pl.when(kk < km)
+            def _(kk=kk):
+                oh = (rel3[kk] == w_iota[0] + w0).astype(jnp.bfloat16)
+                xjT[kk] += jnp.dot(win_b, oh,
+                                   preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, n_sub, sub_body, 0)
@@ -113,8 +115,11 @@ def _fused_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, srcT_hbm, wT_ref,
                             mx0=mx0, my0=my0, nxs=nxs, nys=nys)
 
     # ---- z-contraction + kernel matmul: [1, t] coefficient rows
-    # broadcast over the C8 sublanes; z_m accumulates functionally (no
-    # scratch read-modify-write), then one MXU matmul per tap ----
+    # broadcast over the C8 sublanes; the slot loop runs only to the
+    # block's top-slot bound km (xjT rows above it are exact zeros) ----
+    # (a km-bounded dynamic fori here was tried and measured SLOWER —
+    # 30 tiny dynamic loops' overhead exceeds the saved FMAs; the static
+    # unrolled form pipelines better)
     acc = jnp.zeros((out_ref.shape[0], t), jnp.float32)
     for my in range(nys):
         for mx in range(nxs):
@@ -131,6 +136,7 @@ class FusedPrep(NamedTuple):
     """Source-independent kernel inputs (shared by the two conv blocks of a
     layer — they use the same neighbour tables and attrs)."""
     nsub: jnp.ndarray    # [n_blocks] per-block one-hot chunk bound
+    kmax: jnp.ndarray    # [n_blocks] per-block top-slot bound (see below)
     relq: jnp.ndarray    # [K, n_pad] window-relative indices (-1 masked)
     uxq: jnp.ndarray     # [K, n_pad] spline coordinates
     uyq: jnp.ndarray
@@ -179,7 +185,16 @@ def prepare_fused(nbr: jnp.ndarray, nbr_mask: jnp.ndarray, u: jnp.ndarray,
     w_min = jnp.min(relp.reshape(n_blocks, t * kk), axis=1)
     nsub = jnp.clip(-(-(w_total - w_min) // _SUB), 1, nsub_max) \
         .astype(jnp.int32)
-    return FusedPrep(nsub, relq, uxq, uyq, n, t, lb, lf, w_total)
+    # per-block top-SLOT bound: slots >= kmax have no edge anywhere in the
+    # block, so their one-hot build + gather matmuls are provably zero and
+    # the kernels skip them (orthogonal to the temporal span bound nsub —
+    # delta_t-sparse streams fill ~2 of 15 slots at the benchmark
+    # operating point, measured mean 0.15 neighbours/event)
+    usedk = jnp.pad(rel >= 0, ((0, n_pad - n), (0, 0)))
+    per_block = usedk.reshape(n_blocks, t, kk).any(axis=1)   # [n_blocks, K]
+    kmax = (per_block * jnp.arange(1, kk + 1, dtype=jnp.int32)) \
+        .max(axis=1).astype(jnp.int32)
+    return FusedPrep(nsub, kmax, relq, uxq, uyq, n, t, lb, lf, w_total)
 
 
 def fused_spline_conv_prepared(src: jnp.ndarray,
@@ -238,20 +253,20 @@ def fused_spline_conv_prepared(src: jnp.ndarray,
         _fused_kernel, t=t, k=kk, ks=ks, c8=c8, nxs=nxs, nys=nys,
         mx0=mx0, my0=my0, w_total=w_total)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((kk, t), lambda i, ns: (0, i),
+            pl.BlockSpec((kk, t), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kk, t), lambda i, ns: (0, i),
+            pl.BlockSpec((kk, t), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kk, t), lambda i, ns: (0, i),
+            pl.BlockSpec((kk, t), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((m_sub, o8, c8), lambda i, ns: (0, 0, 0),
+            pl.BlockSpec((m_sub, o8, c8), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((o8, t), lambda i, ns: (0, i)),
+        out_specs=pl.BlockSpec((o8, t), lambda i, *_: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((2, c8, _SUB), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -267,7 +282,7 @@ def fused_spline_conv_prepared(src: jnp.ndarray,
             # undercounts the unrolled slot loops' temporaries
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(prep.nsub, prep.relq, prep.uxq, prep.uyq, srcT, wT)
+    )(prep.nsub, prep.kmax, prep.relq, prep.uxq, prep.uyq, srcT, wT)
     return outT[:cout, :n].T
 
 
@@ -276,9 +291,9 @@ def fused_spline_conv_prepared(src: jnp.ndarray,
 # pass, sharing the one-hot compare between the blocks.
 # ---------------------------------------------------------------------------
 
-def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
-                   w1T_ref, r1T_ref, ab1_ref, w2T_ref, r2T_ref, *rest,
-                   t, k, ks, nxs, nys, mx0, my0, w_total, act, epi):
+def _fused2_kernel(nsub_ref, kmax_ref, relq_ref, uxq_ref, uyq_ref, mask_ref,
+                   srcT_hbm, w1T_ref, r1T_ref, ab1_ref, w2T_ref, r2T_ref,
+                   *rest, t, k, ks, nxs, nys, mx0, my0, w_total, act, epi):
     """Two spline-conv blocks over one shared neighbour window.
 
     Requires lookahead == 0 (level-0 graph contract: edges point old->new),
@@ -299,6 +314,10 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
     # root1 consumes ALL own rows, so the window floor is the own chunks
     # even when the true neighbour span is smaller
     n_sub = jnp.maximum(nsub_ref[i], own)
+    # per-block top-slot bound: slots >= km have no edge in this block —
+    # their one-hot compares and gather matmuls are skipped (the xjT
+    # scratches are zero-initialized, so skipping contributes exact zeros)
+    km = kmax_ref[i]
     base_chunk = i * own
 
     def dma_x(slot, s):
@@ -328,13 +347,15 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
         def _():
             dma_x(s % 2, s).wait()
             w0 = w_total - (s + 1) * _SUB
-            oh3 = (rel3 == w_iota + w0).astype(jnp.bfloat16)
-            ohs[s] = oh3
             win_b = win[s % 2]
             xownT[:, t - (s + 1) * _SUB:t - s * _SUB] = win_b
             for kk in range(k):
-                xjT1[kk] += jnp.dot(win_b, oh3[kk],
-                                    preferred_element_type=jnp.float32)
+                @pl.when(kk < km)
+                def _(kk=kk):
+                    oh = (rel3[kk] == w_iota[0] + w0).astype(jnp.bfloat16)
+                    ohs[s, kk] = oh
+                    xjT1[kk] += jnp.dot(win_b, oh,
+                                        preferred_element_type=jnp.float32)
 
     # ---- older chunks: x and h windows ride the same one-hot ----
     @pl.when(own < n_sub)
@@ -350,14 +371,16 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
         dma_x(s % 2, s).wait()
         dma_h(s % 2, s).wait()
         w0 = w_total - (s + 1) * _SUB
-        oh3 = (rel3 == w_iota + w0).astype(jnp.bfloat16)
         win_b = win[s % 2]
         winh_b = winh[s % 2]
         for kk in range(k):
-            xjT1[kk] += jnp.dot(win_b, oh3[kk],
-                                preferred_element_type=jnp.float32)
-            xjT2[kk] += jnp.dot(winh_b, oh3[kk],
-                                preferred_element_type=jnp.float32)
+            @pl.when(kk < km)
+            def _(kk=kk):
+                oh = (rel3[kk] == w_iota[0] + w0).astype(jnp.bfloat16)
+                xjT1[kk] += jnp.dot(win_b, oh,
+                                    preferred_element_type=jnp.float32)
+                xjT2[kk] += jnp.dot(winh_b, oh,
+                                    preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(own, n_sub, older_body, 0)
@@ -366,21 +389,26 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
     cxs, cys = axis_weights(uxq_ref[...], uyq_ref[...], ks,
                             mx0=mx0, my0=my0, nxs=nxs, nys=nys)
 
-    def taps(get_xj, wT_ref, o8):
+    def taps(xj_ref, wT_ref, o8):
+        # static unrolled slot loop: a km-bounded dynamic fori was tried
+        # and measured SLOWER (30 tiny dynamic loops' overhead exceeds the
+        # saved FMAs); the window gather above IS km-bounded, so xj rows
+        # beyond the block's top slot are exact zeros here
+        cdim = xj_ref.shape[1]
         acc = jnp.zeros((o8, t), jnp.float32)
         for my in range(nys):
             for mx in range(nxs):
                 cm = cys[my] * cxs[mx]
-                z = jnp.zeros((get_xj(0).shape[0], t), jnp.float32)
+                z = jnp.zeros((cdim, t), jnp.float32)
                 for kk in range(k):
-                    z += cm[kk:kk + 1, :] * get_xj(kk)
+                    z += cm[kk:kk + 1, :] * xj_ref[kk]
                 acc += jnp.dot(wT_ref[my * nxs + mx],
                                z.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
         return acc
 
     # ---- block 1: conv + root + BN affine + act, all in VMEM ----
-    acc1 = taps(lambda kk: xjT1[kk], w1T_ref, r1T_ref.shape[0])
+    acc1 = taps(xjT1, w1T_ref, r1T_ref.shape[0])
     acc1 += jnp.dot(r1T_ref[...], xownT[...],
                     preferred_element_type=jnp.float32)
     a1 = ab1_ref[:, 0:1]
@@ -395,19 +423,21 @@ def _fused2_kernel(nsub_ref, relq_ref, uxq_ref, uyq_ref, mask_ref, srcT_hbm,
             hck.at[j], h_hbm.at[base_chunk + (w_total - t) // _SUB + j],
             semw.at[j]).start()
 
-    # deferred own-chunk h gather through the stored one-hots
+    # deferred own-chunk h gather through the stored one-hots (the same
+    # slot predicate: ohs rows above km were never written)
     for s in range(own):
         @pl.when(s < n_sub)
-        def _():
+        def _(s=s):
             j = own - 1 - s
             hw = hh_bf[:, j * _SUB:(j + 1) * _SUB]
-            oh3 = ohs[s]
             for kk in range(k):
-                xjT2[kk] += jnp.dot(hw, oh3[kk],
-                                    preferred_element_type=jnp.float32)
+                @pl.when(kk < km)
+                def _(kk=kk):
+                    xjT2[kk] += jnp.dot(hw, ohs[s, kk],
+                                        preferred_element_type=jnp.float32)
 
     # ---- block 2: conv + root ----
-    acc2 = taps(lambda kk: xjT2[kk], w2T_ref, out_ref.shape[0])
+    acc2 = taps(xjT2, w2T_ref, out_ref.shape[0])
     acc2 += jnp.dot(r2T_ref[...], hh_bf,
                     preferred_element_type=jnp.float32)
     if epi:
@@ -515,9 +545,9 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
             (0, 0))
         extra_in = [skT, ab2]
         extra_specs = [
-            pl.BlockSpec((o8, c8), lambda i, ns: (0, 0),
+            pl.BlockSpec((o8, c8), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((o8, 4), lambda i, ns: (0, 0),
+            pl.BlockSpec((o8, 4), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -526,31 +556,31 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
         mx0=mx0, my0=my0, w_total=w_total, act=act, epi=epi)
     own = t // _SUB
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((kk, t), lambda i, ns: (0, i),
+            pl.BlockSpec((kk, t), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kk, t), lambda i, ns: (0, i),
+            pl.BlockSpec((kk, t), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kk, t), lambda i, ns: (0, i),
+            pl.BlockSpec((kk, t), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i, ns: (0, i),
+            pl.BlockSpec((1, t), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((m_sub, c18, c8), lambda i, ns: (0, 0, 0),
+            pl.BlockSpec((m_sub, c18, c8), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c18, c8), lambda i, ns: (0, 0),
+            pl.BlockSpec((c18, c8), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c18, 2), lambda i, ns: (0, 0),
+            pl.BlockSpec((c18, 2), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_sub, o8, c18), lambda i, ns: (0, 0, 0),
+            pl.BlockSpec((m_sub, o8, c18), lambda i, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((o8, c18), lambda i, ns: (0, 0),
+            pl.BlockSpec((o8, c18), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ] + extra_specs,
         out_specs=[
-            pl.BlockSpec((o8, t), lambda i, ns: (0, i)),
+            pl.BlockSpec((o8, t), lambda i, *_: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
@@ -578,8 +608,8 @@ def fused_two_block_prepared(src: jnp.ndarray, prep: FusedPrep,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(prep.nsub, prep.relq, prep.uxq, prep.uyq, maskf, srcT, w1T, r1T, ab1,
-      w2T, r2T, *extra_in)
+    )(prep.nsub, prep.kmax, prep.relq, prep.uxq, prep.uyq, maskf, srcT,
+      w1T, r1T, ab1, w2T, r2T, *extra_in)
     h = hck.transpose(1, 0, 2).reshape(c18, -1)[:c1, prep.lb:prep.lb + n].T
     return outT[:cout, :n].T, h
 
